@@ -1,0 +1,146 @@
+"""Configuration dataclasses for quest-tpu.
+
+The reference scatters configuration across hardcoded constants
+(`/root/reference/quest/models/llama.py:536-538`: skip_layer=2,
+max_page_limit, page budget derived from token budget) and argparse flags.
+Here everything lives in two frozen dataclasses so the whole engine is
+hashable/static under `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RopeConfig:
+    """Rotary position embedding settings.
+
+    Covers the model families the reference evaluates
+    (`/root/reference/README.md:58`, `scripts/passkey.sh:3-4`):
+      - plain llama2 / mistral (``scaling=None``)
+      - LongChat-v1.5 linear PI (``scaling="linear"``,
+        `/root/reference/quest/models/QuestAttention.py:46-49`)
+      - Llama-3.1 frequency-banded scaling (``scaling="llama3"``)
+      - Yarn-Llama-2 (``scaling="yarn"``)
+    """
+
+    theta: float = 10000.0
+    scaling: Optional[str] = None  # None | "linear" | "llama3" | "yarn"
+    factor: float = 1.0
+    # llama3-specific
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+    # yarn-specific
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+    mscale: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of a Llama/Mistral-family decoder-only transformer."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-5
+    rope: RopeConfig = dataclasses.field(default_factory=RopeConfig)
+    tie_word_embeddings: bool = False
+    max_position_embeddings: int = 32768
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def num_groups(self) -> int:
+        assert self.num_heads % self.num_kv_heads == 0
+        return self.num_heads // self.num_kv_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class QuestConfig:
+    """Engine (KV sparsity) settings.
+
+    Mirrors the knobs of `quest_init()`
+    (`/root/reference/quest/models/llama.py:520-552`) but with static
+    shapes: ``page_budget`` page-slots are always materialized; when the
+    sequence is shorter the extra slots are masked (the reference instead
+    re-plans buffer sizes host-side every step,
+    `/root/reference/quest/utils/controller.py:112-120`).
+    """
+
+    page_size: int = 16
+    token_budget: int = 2048
+    max_seq_len: int = 32768
+    skip_layers: int = 2          # first N layers always run dense
+    group_agg: str = "max"        # how GQA groups combine page scores: max|sum
+    kv_dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def page_budget(self) -> int:
+        """Number of top-K page slots (includes the always-kept last page)."""
+        return max(1, self.token_budget // self.page_size)
+
+    @property
+    def max_pages(self) -> int:
+        return (self.max_seq_len + self.page_size - 1) // self.page_size
+
+
+# ---------------------------------------------------------------------------
+# Presets for the models the reference evaluates.
+# ---------------------------------------------------------------------------
+
+def longchat_7b_v15_32k() -> ModelConfig:
+    return ModelConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+        num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+        rms_norm_eps=1e-5, max_position_embeddings=32768,
+        rope=RopeConfig(theta=10000.0, scaling="linear", factor=8.0),
+    )
+
+
+def yarn_llama2_7b_128k() -> ModelConfig:
+    return ModelConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+        num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+        rms_norm_eps=1e-5, max_position_embeddings=131072,
+        rope=RopeConfig(theta=10000.0, scaling="yarn", factor=32.0,
+                        original_max_position_embeddings=4096),
+    )
+
+
+def llama31_8b() -> ModelConfig:
+    return ModelConfig(
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rms_norm_eps=1e-5, max_position_embeddings=131072,
+        rope=RopeConfig(theta=500000.0, scaling="llama3", factor=8.0,
+                        low_freq_factor=1.0, high_freq_factor=4.0,
+                        original_max_position_embeddings=8192),
+    )
+
+
+def mistral_7b_v03() -> ModelConfig:
+    return ModelConfig(
+        vocab_size=32768, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rms_norm_eps=1e-5, max_position_embeddings=32768,
+        rope=RopeConfig(theta=1000000.0),
+    )
+
+
+def tiny_test_model(num_kv_heads: int = 4) -> ModelConfig:
+    """Small config for unit tests (CPU-runnable)."""
+    return ModelConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=352,
+        num_layers=4, num_heads=4, num_kv_heads=num_kv_heads, head_dim=32,
+        rms_norm_eps=1e-5, max_position_embeddings=4096,
+        rope=RopeConfig(theta=10000.0),
+    )

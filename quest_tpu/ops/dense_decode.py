@@ -1,0 +1,130 @@
+"""Dense paged flash-decode attention.
+
+Used for (a) the first ``skip_layers`` layers which always run dense
+(reference: `/root/reference/quest/models/llama.py:537-538,427-439`) and
+(b) as the baseline the sparse kernel is benchmarked against (the
+reference benchmarks against FlashInfer dense decode,
+`/root/reference/kernels/src/bench/bench_batch_decode.cu`).
+
+Because a single sequence's pages are slot-contiguous (see kv/paged_kv.py)
+the paged cache *is* a contiguous ``[B, Hkv, P*page, D]`` token stream,
+so this is a standard blocked flash-decode: the KV block index map is
+clamped at the last valid block (consecutive identical block indices make
+the Pallas pipeline skip the redundant DMA), and online-softmax state
+persists in VMEM scratch across the sequential KV grid dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
+
+
+def _kernel(block_t: int, seq_ref, q_ref, k_ref, v_ref, o_ref,
+            m_scr, l_scr, acc_scr):
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    nb = pl.num_programs(2)
+    seq_len = seq_ref[b]
+    nv_blocks = pl.cdiv(seq_len, block_t)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(j < nv_blocks)
+    def _():
+        q = q_ref[0, 0]          # [Gp, D]
+        k = k_ref[0, 0]          # [block_t, D]
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        tok = j * block_t + jax.lax.broadcasted_iota(jnp.int32,
+                                                     (1, block_t), 1)
+        mask = tok < seq_len
+        s = jnp.where(mask, s, MASK_VALUE)
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new[:, :1]), 0.0)
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_new
+        pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(j == nb - 1)
+    def _():
+        o_ref[0, 0] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_t",
+                                             "interpret"))
+def dense_decode_attention(q, k_flat, v_flat, seq_lens, *, sm_scale: float,
+                           block_t: int = 512,
+                           interpret: bool | None = None):
+    """Decode attention over the full (valid-masked) cache.
+
+    q: [B, Hq, D]; k_flat/v_flat: [B, Hkv, T, D] (token-contiguous view of
+    the page pool); seq_lens: [B]. Returns [B, Hq, D] f32.
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    B, Hq, D = q.shape
+    _, Hkv, T, _ = k_flat.shape
+    G = Hq // Hkv
+
+    block_t = min(block_t, T)
+    if T % block_t != 0:
+        pad = round_up(T, block_t) - T
+        k_flat = jnp.pad(k_flat, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v_flat = jnp.pad(v_flat, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        T += pad
+    nb = T // block_t
+
+    Gp = round_up(G, 16)
+    qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
+    qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    qg = qg.astype(k_flat.dtype)
+
+    def kv_index(b, h, j, seq_ref):
+        # Clamp at the last valid block: runs of identical indices make
+        # the pipeline skip redundant DMAs for the invalid tail.
+        last = jnp.maximum(pl.cdiv(seq_ref[b], block_t) - 1, 0)
+        return (b, h, jnp.minimum(j, last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_t, D), kv_index),
+            pl.BlockSpec((1, 1, block_t, D), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Gp, 128), jnp.float32),
+            pltpu.VMEM((Gp, 128), jnp.float32),
+            pltpu.VMEM((Gp, D), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, block_t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
+        interpret=interpret,
+    )(seq_lens.astype(jnp.int32), qg, k_flat, v_flat)
+
+    return out[:, :, :G, :].reshape(B, Hq, D)

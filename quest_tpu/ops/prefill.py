@@ -1,0 +1,156 @@
+"""Dense causal paged flash-prefill attention.
+
+Reference: `BatchPrefillWithPagedKVCacheKernel`
+(`/root/reference/kernels/include/prefill/prefill.cuh:688-870`, 1.1 kLoC
+of hand-scheduled MMA + permuted smem). On TPU this collapses to a
+standard blocked flash-attention Pallas kernel: pages of one sequence
+are slot-contiguous (kv/paged_kv.py) so the paged cache is read as a
+contiguous ``[B, Hkv, T, D]`` stream with ordinary pipelined BlockSpecs;
+the MXU and the Mosaic pipeliner replace the reference's wmma tiles and
+cp.async choreography.
+
+Supports chunked prefill: queries sit at absolute positions
+``offset + i`` (``offset`` = tokens already cached), enabling the
+prefill-context-then-decode-question pattern the reference evals use
+(`/root/reference/evaluation/passkey/passkey.py:68-97`).
+Causal block skipping is done by clamping the KV block index map (runs
+of identical indices skip the DMA) plus a compute predicate.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
+
+
+def _kernel(block_q: int, block_k: int, meta_ref, q_ref, k_ref, v_ref,
+            o_ref, m_scr, l_scr, acc_scr):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nb_k = pl.num_programs(3)
+    offset = meta_ref[b, 0]
+    kv_len = meta_ref[b, 1]
+
+    # KV blocks that matter for this q block: causal upper bound and
+    # sequence-length bound.
+    max_q_pos = offset + (i + 1) * block_q - 1
+    hi = jnp.minimum(pl.cdiv(max_q_pos + 1, block_k),
+                     pl.cdiv(kv_len, block_k))
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(j < hi)
+    def _():
+        q = q_ref[0, 0]          # [block_q, D]
+        k = k_ref[0, 0]          # [block_k, D]
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        q_pos = offset + i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = jnp.logical_and(k_pos <= q_pos, k_pos < kv_len)
+        s = jnp.where(mask, s, MASK_VALUE)
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new[:, :1]), 0.0)
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_new
+        pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(j == nb_k - 1)
+    def _():
+        # Padded query rows (beyond the real T) attend to at least the
+        # diagonal block, so l > 0 everywhere; junk rows are sliced off
+        # by the caller.
+        o_ref[0, 0] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_q",
+                                             "block_k", "interpret"))
+def prefill_attention(q, k_flat, v_flat, q_offsets, kv_lens, *,
+                      sm_scale: float, block_q: int = 256,
+                      block_k: int = 512, interpret: bool | None = None):
+    """Causal attention of T fresh queries over the paged cache.
+
+    q: [B, T, Hq, D] (rope already applied); k_flat/v_flat:
+    [B, Hkv, Tkv, D] token-contiguous cache view (new tokens already
+    appended); q_offsets: [B] tokens cached before this chunk;
+    kv_lens: [B] = q_offsets + real new length. Returns [B, T, Hq, D] f32.
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    B, T, Hq, D = q.shape
+    _, Hkv, Tkv, _ = k_flat.shape
+    G = Hq // Hkv
+
+    block_q = min(block_q, round_up(T, 16))
+    block_k = min(block_k, Tkv)
+
+    qt = (q.astype(jnp.float32) * sm_scale).transpose(0, 2, 1, 3)
+    Tp = round_up(T, block_q)
+    qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    qt = qt.astype(k_flat.dtype)          # [B, Hq, Tp, D]
+    if Tkv % block_k != 0:
+        pad = round_up(Tkv, block_k) - Tkv
+        k_flat = jnp.pad(k_flat, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v_flat = jnp.pad(v_flat, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        Tkv += pad
+    nb_q = Tp // block_q
+    nb_k = Tkv // block_k
+
+    meta = jnp.stack([q_offsets.astype(jnp.int32),
+                      kv_lens.astype(jnp.int32)], axis=1)  # [B, 2]
+
+    def kv_index(b, h, i, j, meta_ref):
+        offset = meta_ref[b, 0]
+        kv_len = meta_ref[b, 1]
+        max_q_pos = offset + (i + 1) * block_q - 1
+        hi = jnp.minimum(pl.cdiv(max_q_pos + 1, block_k),
+                         pl.cdiv(kv_len, block_k))
+        return (b, h * Hkv // Hq, jnp.minimum(j, jnp.maximum(hi - 1, 0)), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hq, nb_q, nb_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, D), kv_index),
+            pl.BlockSpec((1, 1, block_k, D), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D),
+                               lambda b, h, i, j, *_: (b, h, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, block_q, block_k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Tp, D), jnp.float32),
+        interpret=interpret,
+    )(meta, qt, k_flat, v_flat)
+
+    return out[:, :, :T].transpose(0, 2, 1, 3)

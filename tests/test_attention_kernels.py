@@ -1,0 +1,148 @@
+"""Pallas attention kernels vs eager oracles.
+
+Test strategy mirrors the reference's gtest sweeps
+(`/root/reference/kernels/src/test/test_batch_decode.cu:215-265`):
+randomized inputs over seq-len × page-size × budget × head-dim grids,
+checked against the `selected_single_mha`-style oracles, including the
+"injected indices" trick (`test_approx_attention.py:179-190`) that
+decouples top-k tie-breaking from attention correctness.
+
+Runs in Pallas interpreter mode on the CPU test mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quest_tpu.ops.dense_decode import dense_decode_attention
+from quest_tpu.ops.prefill import prefill_attention
+from quest_tpu.ops.reference import (dense_decode_attention_reference,
+                                     prefill_attention_reference,
+                                     sparse_decode_attention_reference)
+from quest_tpu.ops.sparse_decode import sparse_decode_attention
+from quest_tpu.ops.topk import select_pages
+
+
+def make_paged(rng, B, Hkv, P, page, D, dtype=np.float32):
+    k = rng.standard_normal((B, Hkv, P, page, D)).astype(dtype)
+    v = rng.standard_normal((B, Hkv, P, page, D)).astype(dtype)
+    return jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("seq_lens,page,budget,Hq,Hkv,D,ppb", [
+    ([63], 16, 4, 4, 4, 64, 2),        # MHA, partial last page
+    ([129, 47], 16, 4, 4, 4, 64, 2),   # batch of 2, different lengths
+    ([257], 16, 8, 8, 2, 64, 4),       # GQA group of 4
+    ([95], 8, 3, 2, 2, 128, 2),        # page 8, head_dim 128
+    ([33], 16, 16, 4, 4, 64, 8),       # budget > pages: dense fallback
+    ([16], 16, 4, 2, 2, 64, 2),        # exactly one full page
+    ([500], 4, 7, 2, 1, 64, 3),        # small pages, odd budget/ppb
+])
+def test_sparse_decode_matches_oracle(seq_lens, page, budget, Hq, Hkv, D,
+                                      ppb):
+    rng = np.random.default_rng(hash((tuple(seq_lens), page, budget)) % 2**31)
+    B = len(seq_lens)
+    P = max((s + page - 1) // page for s in seq_lens) + 2
+    k_pages, v_pages = make_paged(rng, B, Hkv, P, page, D)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    seq = jnp.asarray(np.array(seq_lens, np.int32))
+    sm = 1.0 / np.sqrt(D)
+
+    # Inject indices from random scores (tie-break independent of kernel).
+    scores = jnp.asarray(rng.standard_normal((B, Hkv, P)).astype(np.float32))
+    idx, num_valid = select_pages(scores, seq, page, budget)
+
+    want = sparse_decode_attention_reference(q, k_pages, v_pages, idx,
+                                             num_valid, seq, sm)
+    got = sparse_decode_attention(q, k_pages, v_pages, idx, num_valid, seq,
+                                  sm_scale=sm, pages_per_block=ppb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("seq_lens,Hq,Hkv,D,block_t", [
+    ([63], 4, 4, 64, 32),
+    ([129, 47], 4, 2, 64, 64),
+    ([255], 8, 8, 128, 128),
+    ([1], 2, 2, 64, 16),
+])
+def test_dense_decode_matches_oracle(seq_lens, Hq, Hkv, D, block_t):
+    rng = np.random.default_rng(0)
+    B = len(seq_lens)
+    T = max(seq_lens) + 17
+    k = jnp.asarray(rng.standard_normal((B, Hkv, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Hkv, T, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    seq = jnp.asarray(np.array(seq_lens, np.int32))
+    sm = 1.0 / np.sqrt(D)
+
+    want = dense_decode_attention_reference(q, k, v, seq, sm)
+    got = dense_decode_attention(q, k, v, seq, sm_scale=sm, block_t=block_t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_sparse_with_all_pages_equals_dense():
+    """Budget >= num_pages must reproduce dense attention exactly —
+    the unified dense fallback (`QuestAttention.py:125-133`)."""
+    rng = np.random.default_rng(7)
+    B, Hq, Hkv, D, page, P = 1, 4, 4, 64, 8, 6
+    seq = jnp.asarray([int(P * page - 3)])
+    k_pages, v_pages = make_paged(rng, B, Hkv, P, page, D)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    sm = 1.0 / np.sqrt(D)
+
+    scores = jnp.asarray(rng.standard_normal((B, Hkv, P)).astype(np.float32))
+    idx, num_valid = select_pages(scores, seq, page, P + 2)
+    sparse = sparse_decode_attention(q, k_pages, v_pages, idx, num_valid,
+                                     seq, sm_scale=sm, pages_per_block=4)
+    k_flat = k_pages.reshape(B, Hkv, P * page, D)
+    v_flat = v_pages.reshape(B, Hkv, P * page, D)
+    dense = dense_decode_attention(q, k_flat, v_flat, seq, sm_scale=sm,
+                                   block_t=16)
+    np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("T,offset,Hq,Hkv,D,bq,bk", [
+    (33, 0, 4, 4, 64, 16, 32),       # fresh prefill, ragged T
+    (64, 0, 4, 2, 64, 32, 32),       # GQA
+    (17, 23, 2, 2, 64, 16, 16),      # chunked prefill with past
+    (128, 0, 2, 2, 128, 128, 64),    # D=128
+    (1, 40, 2, 1, 64, 16, 16),       # single-token chunk
+])
+def test_prefill_matches_oracle(T, offset, Hq, Hkv, D, bq, bk):
+    rng = np.random.default_rng(T * 31 + offset)
+    B = 1
+    Tkv = offset + T + 9          # cache has padding tail
+    k = jnp.asarray(rng.standard_normal((B, Hkv, Tkv, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Hkv, Tkv, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, D)).astype(np.float32))
+    q_off = jnp.asarray([offset], jnp.int32)
+    kv_lens = jnp.asarray([offset + T], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+
+    want = prefill_attention_reference(q, k, v, q_off, kv_lens, sm)
+    got = prefill_attention(q, k, v, q_off, kv_lens, sm_scale=sm,
+                            block_q=bq, block_k=bk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_prefill_batched_mixed_offsets():
+    rng = np.random.default_rng(5)
+    B, T, Hq, Hkv, D = 2, 24, 4, 2, 64
+    offsets = np.array([0, 31], np.int32)
+    Tkv = int(offsets.max()) + T + 5
+    k = jnp.asarray(rng.standard_normal((B, Hkv, Tkv, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Hkv, Tkv, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, D)).astype(np.float32))
+    kv_lens = jnp.asarray(offsets + T, jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+    want = prefill_attention_reference(q, k, v, jnp.asarray(offsets),
+                                       kv_lens, sm)
+    got = prefill_attention(q, k, v, jnp.asarray(offsets), kv_lens,
+                            sm_scale=sm, block_q=16, block_k=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

@@ -1,0 +1,77 @@
+"""Estimate (page criticality) + top-K selection semantics.
+
+Estimate oracle mirrors the reference's double-loop CPU check
+(`/root/reference/kernels/src/test/test_max_possible.cu:81-106`); top-k
+checks the unified "+inf last page" selection against the reference's
+{last} ∪ top-(K-1)(rest) semantics
+(`/root/reference/quest/utils/controller.py:99-120`).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quest_tpu.ops.estimate import page_scores, page_scores_per_qhead
+from quest_tpu.ops.reference import estimate_reference
+from quest_tpu.ops.topk import select_pages
+
+
+@pytest.mark.parametrize("Hq,Hkv", [(4, 4), (8, 2)])
+def test_estimate_matches_double_loop(Hq, Hkv):
+    rng = np.random.default_rng(0)
+    B, P, D = 2, 11, 32
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    kmin_ = rng.standard_normal((B, Hkv, P, D)).astype(np.float32)
+    kmax_ = kmin_ + np.abs(rng.standard_normal((B, Hkv, P, D))).astype(np.float32)
+    kmin, kmax = jnp.asarray(kmin_), jnp.asarray(kmax_)
+
+    want = estimate_reference(q, kmin, kmax)        # [B, Hq, P]
+    got = page_scores_per_qhead(q, kmin, kmax)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # Group aggregation equals numpy agg of per-head scores.
+    for agg, npfn in [("max", np.max), ("sum", np.sum)]:
+        got_g = np.asarray(page_scores(q, kmin, kmax, group_agg=agg))
+        want_g = npfn(np.asarray(want).reshape(B, Hkv, Hq // Hkv, P), axis=2)
+        np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-5)
+
+
+def test_topk_forces_last_page_and_matches_reference_set():
+    rng = np.random.default_rng(1)
+    B, H, P, page, K = 2, 3, 16, 8, 5
+    scores = rng.standard_normal((B, H, P)).astype(np.float32)
+    seq_lens = np.array([12 * page, 3 * page - 2], np.int32)  # 12 and 3 pages
+    idx, num_valid = select_pages(jnp.asarray(scores), jnp.asarray(seq_lens),
+                                  page, K)
+    idx = np.asarray(idx)
+    num_valid = np.asarray(num_valid)
+
+    for b in range(B):
+        n_pages = int(np.ceil(seq_lens[b] / page))
+        last = n_pages - 1
+        nv = min(K, n_pages)
+        assert num_valid[b] == nv
+        for h in range(H):
+            sel = set(idx[b, h, :nv].tolist())
+            assert len(sel) == nv, "selected pages must be distinct"
+            assert last in sel, "last page must always be selected"
+            assert idx[b, h, 0] == last, "+inf puts last page in slot 0"
+            assert all(0 <= p < n_pages for p in sel)
+            # Reference semantics: {last} ∪ top-(K-1) of the other pages.
+            others = [p for p in range(n_pages) if p != last]
+            want = set(np.array(others)[
+                np.argsort(scores[b, h, others])[::-1][:nv - 1]].tolist())
+            assert sel == want | {last}
+
+
+def test_topk_short_sequence_selects_all_pages():
+    """When pages <= budget the selection is exactly all valid pages —
+    this is the dense fallback (`QuestAttention.py:125-133`) unified."""
+    B, H, P, page, K = 1, 2, 10, 4, 8
+    scores = jnp.zeros((B, H, P), jnp.float32)
+    seq_lens = jnp.asarray([3 * page + 1])  # 4 pages < budget 8
+    idx, num_valid = select_pages(scores, seq_lens, page, K)
+    assert int(num_valid[0]) == 4
+    for h in range(H):
+        assert set(np.asarray(idx)[0, h, :4].tolist()) == {0, 1, 2, 3}

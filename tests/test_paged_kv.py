@@ -1,0 +1,118 @@
+"""Paged KV append + min/max metadata vs naive recompute.
+
+Mirrors the reference's `test_page.cu` strategy (683 LoC,
+`/root/reference/kernels/src/test/test_page.cu`): prefill appends,
+decode appends, and mixed sequences must produce both correct KV pages
+and correct per-page min/max metadata over *valid* entries only.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quest_tpu.config import ModelConfig, QuestConfig, tiny_test_model
+from quest_tpu.kv.paged_kv import (LayerKV, append_decode, append_prefill,
+                                   contiguous_kv, init_cache)
+
+
+def naive_metadata(k_tokens, seq_len, page_size, max_pages):
+    """k_tokens [B, T, Hkv, D] (first seq_len valid) -> min/max [B,Hkv,P,D]."""
+    B, T, H, D = k_tokens.shape
+    kmin = np.zeros((B, H, max_pages, D), np.float32)
+    kmax = np.zeros((B, H, max_pages, D), np.float32)
+    for b in range(B):
+        n = seq_len[b]
+        for p in range((n + page_size - 1) // page_size):
+            lo, hi = p * page_size, min((p + 1) * page_size, n)
+            seg = k_tokens[b, lo:hi]  # [t, H, D]
+            kmin[b, :, p] = seg.min(axis=0)
+            kmax[b, :, p] = seg.max(axis=0)
+    return kmin, kmax
+
+
+def run_appends(B, page_size, max_pages, H, D, steps, seed=0):
+    """steps: list of ints (tokens per append; 1 => decode append)."""
+    rng = np.random.default_rng(seed)
+    quest = QuestConfig(page_size=page_size,
+                        max_seq_len=page_size * max_pages,
+                        kv_dtype=jnp.float32)
+    model = ModelConfig(num_kv_heads=H, num_heads=H, head_dim=D)
+    cache = init_cache(model, quest, batch_size=B, num_layers=1)
+    layer = cache.layer(0)
+
+    all_k = np.zeros((B, 0, H, D), np.float32)
+    all_v = np.zeros((B, 0, H, D), np.float32)
+    seq_len = np.zeros((B,), np.int32)
+    for t in steps:
+        k = rng.standard_normal((B, t, H, D)).astype(np.float32)
+        v = rng.standard_normal((B, t, H, D)).astype(np.float32)
+        all_k = np.concatenate([all_k, k], axis=1)
+        all_v = np.concatenate([all_v, v], axis=1)
+        if t == 1:
+            layer = append_decode(layer, jnp.asarray(k[:, 0]),
+                                  jnp.asarray(v[:, 0]))
+        else:
+            layer = append_prefill(layer, jnp.asarray(k), jnp.asarray(v))
+        seq_len = seq_len + t
+        layer = LayerKV(layer.k_pages, layer.v_pages, layer.k_min,
+                        layer.k_max, jnp.asarray(seq_len))
+    return layer, all_k, all_v, seq_len
+
+
+@pytest.mark.parametrize("steps", [
+    [37],                 # single prefill, partial last page
+    [16],                 # exactly one page
+    [1] * 5,              # pure decode from empty
+    [33, 1, 1, 1],        # prefill then decode across a page boundary
+    [16, 1],              # decode opens a fresh page
+    [5, 12, 1, 30, 1],    # chunked prefill mixed with decode
+])
+def test_append_and_metadata(steps):
+    B, page_size, max_pages, H, D = 2, 8, 12, 3, 16
+    layer, all_k, all_v, seq_len = run_appends(B, page_size, max_pages, H, D,
+                                               steps)
+    T = all_k.shape[1]
+
+    # KV contents: flattened token view must equal the appended stream.
+    k_flat, v_flat = contiguous_kv(layer)
+    got_k = np.asarray(k_flat)[:, :, :T]          # [B, H, T, D]
+    want_k = all_k.transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(got_k, want_k, rtol=0, atol=0)
+    got_v = np.asarray(v_flat)[:, :, :T]
+    np.testing.assert_allclose(got_v, all_v.transpose(0, 2, 1, 3))
+
+    # Metadata over valid entries.
+    want_min, want_max = naive_metadata(all_k, seq_len, page_size, max_pages)
+    num_pages = (seq_len + page_size - 1) // page_size
+    for b in range(B):
+        for_p = num_pages[b]
+        np.testing.assert_allclose(np.asarray(layer.k_min)[b, :, :for_p],
+                                   want_min[b, :, :for_p], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(layer.k_max)[b, :, :for_p],
+                                   want_max[b, :, :for_p], rtol=1e-6)
+
+
+def test_mixed_seq_lens_padded_prefill():
+    """Batched prefill with per-sequence real lengths below padded T."""
+    B, page_size, max_pages, H, D = 2, 8, 8, 2, 16
+    rng = np.random.default_rng(3)
+    quest = QuestConfig(page_size=page_size,
+                        max_seq_len=page_size * max_pages,
+                        kv_dtype=jnp.float32)
+    model = ModelConfig(num_kv_heads=H, num_heads=H, head_dim=D)
+    cache = init_cache(model, quest, batch_size=B, num_layers=1)
+    layer = cache.layer(0)
+
+    T = 20
+    new_lens = np.array([20, 13], np.int32)
+    k = rng.standard_normal((B, T, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, T, H, D)).astype(np.float32)
+    layer = append_prefill(layer, jnp.asarray(k), jnp.asarray(v),
+                           new_lens=jnp.asarray(new_lens))
+    want_min, want_max = naive_metadata(k, new_lens, page_size, max_pages)
+    for b in range(B):
+        npages = (new_lens[b] + page_size - 1) // page_size
+        np.testing.assert_allclose(np.asarray(layer.k_min)[b, :, :npages],
+                                   want_min[b, :, :npages], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(layer.k_max)[b, :, :npages],
+                                   want_max[b, :, :npages], rtol=1e-6)
