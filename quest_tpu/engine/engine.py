@@ -1,0 +1,121 @@
+"""Inference engine — the controller + generation loop.
+
+Reference counterparts: `InferenceController`
+(`/root/reference/quest/utils/controller.py`) and the
+`quest_init`/`quest_clear` lifecycle
+(`/root/reference/quest/models/llama.py:520-560`) plus the manual decode
+loops in `scripts/bench_textgen.py:39-106`.
+
+TPU-first: all per-step state (pages, metadata, seq_lens) lives on
+device inside a donated pytree; a decode step is ONE jitted call with no
+host-side planning, index uploads, or per-step allocation (the
+reference's `begin_forward` rebuilds device tensors and calls into a
+CUDA planner each token). `clear()` is a scalar reset — the pool is
+reused, mirroring `quest_clear()` semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quest_tpu.config import ModelConfig, QuestConfig
+from quest_tpu.kv.paged_kv import PagedKVCache, init_cache
+from quest_tpu.models.llama import Params, QuestModel
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class QuestEngine:
+    """Single-host engine: paged cache + jitted prefill/decode steps."""
+
+    def __init__(self, cfg: ModelConfig, quest: QuestConfig, params: Params,
+                 batch_size: int = 1, prefill_bucket: int = 256):
+        self.cfg = cfg
+        self.quest = quest
+        self.params = params
+        self.batch_size = batch_size
+        self.prefill_bucket = prefill_bucket
+        self.model = QuestModel(cfg, quest)
+        self.cache = init_cache(cfg, quest, batch_size)
+
+        self._prefill_fn = jax.jit(self.model.prefill, donate_argnums=(1,))
+        self._decode_fn = jax.jit(self.model.decode_step, donate_argnums=(1,))
+
+    # -- lifecycle (quest_init/quest_clear analogues) --------------------
+    def clear(self) -> None:
+        """Reset for a new conversation; the pool is reused
+        (`quest_clear`/`clean_states`, `controller.py:144-146`)."""
+        self.cache = dataclasses.replace(
+            self.cache,
+            seq_lens=jnp.zeros((self.batch_size,), jnp.int32))
+
+    @property
+    def seq_lens(self) -> np.ndarray:
+        return np.asarray(self.cache.seq_lens)
+
+    # -- steps -----------------------------------------------------------
+    def prefill(self, prompts: Sequence[Sequence[int]]) -> np.ndarray:
+        """Prefill (or continue) each sequence; returns last-token logits
+        [B, V]. Prompts are padded to a bucket multiple to bound jit
+        recompilation across prompt lengths."""
+        B = self.batch_size
+        assert len(prompts) == B
+        lens = np.array([len(p) for p in prompts], np.int32)
+        T = _round_up(int(lens.max()), self.prefill_bucket)
+        if (int(self.seq_lens.max()) + T) > self.quest.max_seq_len:
+            raise ValueError("prompt exceeds max_seq_len")
+        toks = np.zeros((B, T), np.int32)
+        for b, p in enumerate(prompts):
+            toks[b, :len(p)] = np.asarray(p, np.int32)
+        logits, self.cache = self._prefill_fn(
+            self.params, self.cache, jnp.asarray(toks), jnp.asarray(lens))
+        # last real token of each prompt within this chunk
+        return np.asarray(logits)[np.arange(B), lens - 1]
+
+    def decode(self, tokens: Sequence[int]) -> np.ndarray:
+        """One decode step for the batch; returns logits [B, V]."""
+        logits, self.cache = self._decode_fn(
+            self.params, self.cache,
+            jnp.asarray(np.asarray(tokens, np.int32)))
+        return np.asarray(logits)
+
+    # -- generation -------------------------------------------------------
+    def generate(self, prompts: Sequence[Sequence[int]],
+                 max_new_tokens: int, temperature: float = 0.0,
+                 eos_token_id: Optional[int] = None,
+                 seed: int = 0) -> List[List[int]]:
+        """Greedy (temperature=0) or sampled generation."""
+        B = self.batch_size
+        logits = self.prefill(prompts)
+        key = jax.random.PRNGKey(seed)
+        out: List[List[int]] = [[] for _ in range(B)]
+        done = np.zeros((B,), bool)
+        next_tok = self._sample(logits, temperature, key, 0)
+        for step in range(max_new_tokens):
+            for b in range(B):
+                if not done[b]:
+                    out[b].append(int(next_tok[b]))
+                    if eos_token_id is not None and next_tok[b] == eos_token_id:
+                        done[b] = True
+            if done.all() or step == max_new_tokens - 1:
+                break
+            logits = self.decode(next_tok)
+            next_tok = self._sample(logits, temperature, key, step + 1)
+        return out
+
+    @staticmethod
+    def _sample(logits: np.ndarray, temperature: float, key, step: int):
+        if temperature <= 0.0:
+            return np.argmax(logits, axis=-1).astype(np.int32)
+        k = jax.random.fold_in(key, step)
+        g = jax.random.categorical(k, jnp.asarray(logits) / temperature,
+                                   axis=-1)
+        return np.asarray(g, np.int32)

@@ -1,0 +1,214 @@
+"""Llama/Mistral-family decoder in JAX with Quest sparse decode.
+
+Reference counterpart: the forked HF model + QuestAttention
+(`/root/reference/quest/models/llama.py`,
+`/root/reference/quest/models/QuestAttention.py:56-180`). TPU-first
+redesign:
+
+  * Pure-functional params pytree with **stacked layer weights** so the
+    whole network is one `lax.scan` over layers — one compiled layer
+    body instead of 32 unrolled ones.
+  * The per-layer KV cache slices ride the scan's xs/ys, so cache
+    updates are expressed functionally and XLA keeps them in-place via
+    buffer donation (the reference instead mutates a global pool and
+    re-uploads index tensors from the host every step,
+    `controller.py:80-129`).
+  * Layer-skip (first `skip_layers` layers always dense,
+    `llama.py:537-538,427-439`) is a per-layer boolean in the scan xs
+    feeding a `lax.cond` — no budget-swapping choreography.
+  * Decode always runs estimate→top-k→sparse for non-skip layers; when
+    the sequence has fewer pages than the budget the selection contains
+    every page, which reproduces dense attention exactly (the
+    reference's `need_estimate()` dense fallback,
+    `QuestAttention.py:125-133`, with no second code path).
+  * Batched (B≥1) and GQA-general from day one — the reference kernel
+    path asserts bsz==1 and MHA (`QuestAttention.py:68`,
+    `decode_handler.cuh:83`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quest_tpu.config import ModelConfig, QuestConfig
+from quest_tpu.kv.paged_kv import (LayerKV, PagedKVCache, append_decode,
+                                   append_prefill, contiguous_kv)
+from quest_tpu.ops.dense_decode import dense_decode_attention
+from quest_tpu.ops.estimate import page_scores
+from quest_tpu.ops.prefill import prefill_attention
+from quest_tpu.ops.rms_norm import rms_norm
+from quest_tpu.ops.rope import compute_rope_params
+from quest_tpu.ops.sparse_decode import sparse_decode_attention
+from quest_tpu.ops.topk import select_pages
+
+Params = Dict[str, Any]
+
+
+def init_params(cfg: ModelConfig, key: jax.Array,
+                dtype=None) -> Params:
+    """Random-initialized params (testing / benchmarking)."""
+    dtype = dtype or cfg.dtype
+    L, H, Hkv, D = cfg.num_layers, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    hid, inter, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    ks = jax.random.split(key, 10)
+
+    def norm_init(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32)
+                / math.sqrt(fan_in)).astype(dtype)
+
+    params = {
+        "embed": norm_init(ks[0], (V, hid), 1.0) * 0.02,
+        "layers": {
+            "wq": norm_init(ks[1], (L, hid, H * D), hid),
+            "wk": norm_init(ks[2], (L, hid, Hkv * D), hid),
+            "wv": norm_init(ks[3], (L, hid, Hkv * D), hid),
+            "wo": norm_init(ks[4], (L, H * D, hid), H * D),
+            "w_gate": norm_init(ks[5], (L, hid, inter), hid),
+            "w_up": norm_init(ks[6], (L, hid, inter), hid),
+            "w_down": norm_init(ks[7], (L, inter, hid), inter),
+            "ln_attn": jnp.ones((L, hid), dtype),
+            "ln_mlp": jnp.ones((L, hid), dtype),
+        },
+        "final_norm": jnp.ones((hid,), dtype),
+        "lm_head": norm_init(ks[8], (hid, V), hid),
+    }
+    return params
+
+
+@dataclasses.dataclass(frozen=True)
+class QuestModel:
+    """Static model+engine configuration bound to forward functions."""
+
+    cfg: ModelConfig
+    quest: QuestConfig
+
+    # ------------------------------------------------------------------
+    def _rope(self):
+        return compute_rope_params(self.cfg.rope, self.cfg.head_dim)
+
+    def _apply_rope(self, x, positions):
+        """x: [B, T, H, D]; positions: [B, T]."""
+        inv_freq, pos_scale, attn_scale = self._rope()
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        pos = positions.astype(jnp.float32) / pos_scale
+        ang = pos[..., None] * inv_freq
+        cos = (jnp.cos(ang) * attn_scale)[..., None, :]
+        sin = (jnp.sin(ang) * attn_scale)[..., None, :]
+        d2 = xf.shape[-1] // 2
+        x1, x2 = xf[..., :d2], xf[..., d2:]
+        out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                              axis=-1)
+        return out.astype(dtype)
+
+    # ------------------------------------------------------------------
+    def _attn_decode(self, q, layer_kv: LayerKV, use_sparse, seq_lens):
+        """q: [B, Hq, D]; returns [B, Hq, D] f32."""
+        cfg, quest = self.cfg, self.quest
+        sm = 1.0 / math.sqrt(cfg.head_dim)
+
+        def sparse_branch(args):
+            q, kv = args
+            scores = page_scores(q, kv.k_min, kv.k_max,
+                                 group_agg=quest.group_agg)
+            idx, num_valid = select_pages(scores, seq_lens, quest.page_size,
+                                          quest.page_budget)
+            return sparse_decode_attention(
+                q, kv.k_pages, kv.v_pages, idx, num_valid, seq_lens,
+                sm_scale=sm)
+
+        def dense_branch(args):
+            q, kv = args
+            k_flat, v_flat = contiguous_kv(kv)
+            return dense_decode_attention(q, k_flat, v_flat, seq_lens,
+                                          sm_scale=sm)
+
+        return jax.lax.cond(use_sparse, sparse_branch, dense_branch,
+                            (q, layer_kv))
+
+    # ------------------------------------------------------------------
+    def _layer(self, x, lp, layer_kv: LayerKV, use_sparse, positions,
+               is_prefill: bool, new_lens):
+        """One transformer layer. x: [B, T, hid]. Returns (x, layer_kv)."""
+        cfg = self.cfg
+        B, T, hid = x.shape
+        H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        sm = 1.0 / math.sqrt(D)
+
+        h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+        q = (h @ lp["wq"]).reshape(B, T, H, D)
+        k = (h @ lp["wk"]).reshape(B, T, Hkv, D)
+        v = (h @ lp["wv"]).reshape(B, T, Hkv, D)
+        q = self._apply_rope(q, positions)
+        k = self._apply_rope(k, positions)
+
+        if is_prefill:
+            layer_kv = append_prefill(layer_kv, k, v, new_lens=new_lens)
+            seq_new = layer_kv.seq_lens + new_lens
+            k_flat, v_flat = contiguous_kv(layer_kv)
+            attn = prefill_attention(q, k_flat, v_flat,
+                                     layer_kv.seq_lens, seq_new, sm_scale=sm)
+        else:
+            layer_kv = append_decode(layer_kv, k[:, 0], v[:, 0])
+            seq_new = layer_kv.seq_lens + 1
+            attn = self._attn_decode(q[:, 0], layer_kv, use_sparse,
+                                     seq_new)[:, None]
+
+        attn = attn.astype(x.dtype).reshape(B, T, H * D)
+        x = x + attn @ lp["wo"]
+        h2 = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+        mlp = (jax.nn.silu(h2 @ lp["w_gate"]) * (h2 @ lp["w_up"])) @ lp["w_down"]
+        return x + mlp, layer_kv
+
+    # ------------------------------------------------------------------
+    def _forward(self, params: Params, cache: PagedKVCache,
+                 tokens: jnp.ndarray, is_prefill: bool,
+                 new_lens: jnp.ndarray | None) -> Tuple[jnp.ndarray,
+                                                        PagedKVCache]:
+        cfg, quest = self.cfg, self.quest
+        B, T = tokens.shape
+        if new_lens is None:
+            new_lens = jnp.full((B,), T, jnp.int32)
+        x = params["embed"][tokens].astype(cfg.dtype)
+        positions = cache.seq_lens[:, None] + jnp.arange(T)[None, :]
+
+        L = cache.k_pages.shape[0]
+        use_sparse = jnp.arange(L) >= quest.skip_layers
+
+        def body(x, xs):
+            lp, kp, vp, kmin, kmax, sp = xs
+            layer_kv = LayerKV(kp, vp, kmin, kmax, cache.seq_lens)
+            x, layer_kv = self._layer(x, lp, layer_kv, sp, positions,
+                                      is_prefill, new_lens)
+            return x, (layer_kv.k_pages, layer_kv.v_pages,
+                       layer_kv.k_min, layer_kv.k_max)
+
+        x, (kp, vp, kmin, kmax) = jax.lax.scan(
+            body, x,
+            (params["layers"], cache.k_pages, cache.v_pages,
+             cache.k_min, cache.k_max, use_sparse))
+
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        logits = (x.astype(jnp.float32)
+                  @ params["lm_head"].astype(jnp.float32))
+        new_cache = PagedKVCache(kp, vp, kmin, kmax,
+                                 cache.seq_lens + new_lens)
+        return logits, new_cache
+
+    # Public steps ------------------------------------------------------
+    def prefill(self, params: Params, cache: PagedKVCache,
+                tokens: jnp.ndarray, new_lens: jnp.ndarray | None = None):
+        """tokens: [B, T] (padded); returns (logits [B, T, V], cache)."""
+        return self._forward(params, cache, tokens, True, new_lens)
+
+    def decode_step(self, params: Params, cache: PagedKVCache,
+                    tokens: jnp.ndarray):
+        """tokens: [B]; returns (logits [B, V], cache)."""
+        logits, cache = self._forward(params, cache, tokens[:, None],
+                                      False, None)
+        return logits[:, 0], cache

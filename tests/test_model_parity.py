@@ -1,0 +1,147 @@
+"""Model-level parity vs HuggingFace transformers (torch CPU).
+
+With a token budget covering the whole sequence, the Quest path is
+mathematically exact dense attention (every page selected), so logits
+must match HF's LlamaForCausalLM. With a small budget, logits may differ
+but generation should still be coherent — checked at accuracy-eval level
+instead (evals/). This mirrors how the reference validates: op tests vs
+eager torch + model harnesses (`SURVEY.md §4`).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from quest_tpu.config import QuestConfig
+from quest_tpu.engine.engine import QuestEngine
+from quest_tpu.models.llama import QuestModel, init_params
+from quest_tpu.models.loader import config_from_hf, params_from_state_dict
+from quest_tpu.kv.paged_kv import init_cache
+
+
+def make_hf_model(num_kv_heads):
+    from transformers import LlamaConfig, LlamaForCausalLM
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=176,
+        num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=num_kv_heads, max_position_embeddings=512,
+        rms_norm_eps=1e-5, rope_theta=10000.0, attention_bias=False,
+        tie_word_embeddings=False)
+    model = LlamaForCausalLM(cfg).eval()
+    return cfg, model
+
+
+@pytest.mark.parametrize("num_kv_heads", [4, 2])
+def test_full_budget_matches_hf(num_kv_heads):
+    hf_cfg, hf_model = make_hf_model(num_kv_heads)
+    cfg = config_from_hf(hf_cfg)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": jnp.float32})
+    params = params_from_state_dict(hf_model.state_dict(), cfg,
+                                    dtype=jnp.float32)
+
+    # Budget covers everything -> exact dense everywhere.
+    quest = QuestConfig(page_size=8, token_budget=512, max_seq_len=256,
+                        skip_layers=2, kv_dtype=jnp.float32)
+    T = 21
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, 256, size=(1, T)).astype(np.int32)
+
+    with torch.no_grad():
+        hf_logits = hf_model(torch.from_numpy(toks).long()).logits.numpy()
+
+    model = QuestModel(cfg, quest)
+    cache = init_cache(cfg, quest, batch_size=1)
+    logits, cache = model.prefill(params, cache, jnp.asarray(toks))
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               rtol=2e-3, atol=2e-3)
+
+    # Decode three tokens and compare against HF full-context forward.
+    cur = toks
+    for step in range(3):
+        nxt = np.array([int(np.asarray(logits)[0, -1].argmax())
+                        if step == 0 else
+                        int(np.asarray(dec_logits)[0].argmax())], np.int32)
+        cur = np.concatenate([cur, nxt[None]], axis=1)
+        with torch.no_grad():
+            hf_logits = hf_model(torch.from_numpy(cur).long()).logits.numpy()
+        dec_logits, cache = model.decode_step(params, cache, jnp.asarray(nxt))
+        np.testing.assert_allclose(np.asarray(dec_logits), hf_logits[:, -1],
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_small_budget_decode_runs_and_differs_gracefully():
+    """Sparse path with a tight budget: runs, finite, close-ish to dense
+    (random tiny model; attention mass is diffuse, so allow slack)."""
+    hf_cfg, hf_model = make_hf_model(4)
+    cfg = config_from_hf(hf_cfg)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": jnp.float32})
+    params = params_from_state_dict(hf_model.state_dict(), cfg,
+                                    dtype=jnp.float32)
+    quest = QuestConfig(page_size=8, token_budget=32, max_seq_len=256,
+                        skip_layers=2, kv_dtype=jnp.float32)
+    model = QuestModel(cfg, quest)
+    cache = init_cache(cfg, quest, batch_size=1)
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, 256, size=(1, 100)).astype(np.int32)
+    logits, cache = model.prefill(params, cache, jnp.asarray(toks))
+    dec_logits, cache = model.decode_step(params, cache,
+                                          jnp.asarray([5], jnp.int32))
+    assert np.isfinite(np.asarray(dec_logits)).all()
+    assert int(np.asarray(cache.seq_lens)[0]) == 101
+
+
+def test_engine_generate_and_clear():
+    """Engine lifecycle: prefill -> greedy decode == HF greedy; clear()
+    resets for a second conversation."""
+    hf_cfg, hf_model = make_hf_model(4)
+    cfg = config_from_hf(hf_cfg)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": jnp.float32})
+    params = params_from_state_dict(hf_model.state_dict(), cfg,
+                                    dtype=jnp.float32)
+    quest = QuestConfig(page_size=8, token_budget=512, max_seq_len=256,
+                        skip_layers=2, kv_dtype=jnp.float32)
+    eng = QuestEngine(cfg, quest, params, batch_size=1, prefill_bucket=16)
+
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(0, 256, size=(13,)).tolist()
+    N = 6
+    got = eng.generate([prompt], max_new_tokens=N)[0]
+
+    with torch.no_grad():
+        hf_out = hf_model.generate(
+            torch.tensor([prompt]).long(), max_new_tokens=N, do_sample=False,
+            num_beams=1, pad_token_id=0)
+    want = hf_out[0, len(prompt):].tolist()
+    assert got == want, (got, want)
+
+    # Second conversation after clear(): same prompt -> same output.
+    eng.clear()
+    assert eng.seq_lens.tolist() == [0]
+    got2 = eng.generate([prompt], max_new_tokens=N)[0]
+    assert got2 == got
+
+
+def test_batched_generation_mixed_lengths():
+    hf_cfg, hf_model = make_hf_model(2)
+    cfg = config_from_hf(hf_cfg)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": jnp.float32})
+    params = params_from_state_dict(hf_model.state_dict(), cfg,
+                                    dtype=jnp.float32)
+    quest = QuestConfig(page_size=8, token_budget=512, max_seq_len=256,
+                        skip_layers=2, kv_dtype=jnp.float32)
+    eng = QuestEngine(cfg, quest, params, batch_size=2, prefill_bucket=16)
+    rng = np.random.default_rng(3)
+    p1 = rng.integers(0, 256, size=(11,)).tolist()
+    p2 = rng.integers(0, 256, size=(23,)).tolist()
+    N = 4
+    got = eng.generate([p1, p2], max_new_tokens=N)
+
+    for prompt, g in zip([p1, p2], got):
+        with torch.no_grad():
+            hf_out = hf_model.generate(
+                torch.tensor([prompt]).long(), max_new_tokens=N,
+                do_sample=False, num_beams=1, pad_token_id=0)
+        assert g == hf_out[0, len(prompt):].tolist()
