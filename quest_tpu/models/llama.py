@@ -82,10 +82,24 @@ def init_params(cfg: ModelConfig, key: jax.Array,
 
 @dataclasses.dataclass(frozen=True)
 class QuestModel:
-    """Static model+engine configuration bound to forward functions."""
+    """Static model+engine configuration bound to forward functions.
+
+    When ``tp_axis`` is set the model runs *inside* a ``shard_map`` over
+    that mesh axis: ``cfg`` then describes the per-shard slice (local
+    head counts), attention/MLP outputs are all-reduced over the axis
+    (Megatron TP), and vocab-sharded logits are all-gathered. Quest's
+    estimate/top-k/sparse-attention need no collectives at all — page
+    selection is per KV head and heads are shard-local (parallel/mesh.py).
+    """
 
     cfg: ModelConfig
     quest: QuestConfig
+    tp_axis: str | None = None
+
+    def _maybe_psum(self, x):
+        if self.tp_axis is not None:
+            return jax.lax.psum(x, self.tp_axis)
+        return x
 
     # ------------------------------------------------------------------
     def _rope(self):
@@ -160,10 +174,10 @@ class QuestModel:
                                      seq_new)[:, None]
 
         attn = attn.astype(x.dtype).reshape(B, T, H * D)
-        x = x + attn @ lp["wo"]
+        x = x + self._maybe_psum(attn @ lp["wo"])
         h2 = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         mlp = (jax.nn.silu(h2 @ lp["w_gate"]) * (h2 @ lp["w_up"])) @ lp["w_down"]
-        return x + mlp, layer_kv
+        return x + self._maybe_psum(mlp), layer_kv
 
     # ------------------------------------------------------------------
     def _forward(self, params: Params, cache: PagedKVCache,
@@ -196,6 +210,9 @@ class QuestModel:
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         logits = (x.astype(jnp.float32)
                   @ params["lm_head"].astype(jnp.float32))
+        if self.tp_axis is not None:  # vocab-sharded lm_head
+            logits = jax.lax.all_gather(logits, self.tp_axis, axis=-1,
+                                        tiled=True)
         new_cache = PagedKVCache(kp, vp, kmin, kmax,
                                  cache.seq_lens + new_lens)
         return logits, new_cache

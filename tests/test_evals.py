@@ -1,0 +1,117 @@
+"""Eval harness smoke tests with a tiny random model + toy tokenizer."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quest_tpu.config import ModelConfig, QuestConfig, RopeConfig
+from quest_tpu.engine.engine import QuestEngine
+from quest_tpu.evals.longbench_metrics import (classification_score,
+                                               qa_f1_score, retrieval_score,
+                                               rouge_l_score, score_task)
+from quest_tpu.evals.passkey import build_passkey_prompt, evaluate_passkey
+from quest_tpu.evals.perplexity import evaluate_perplexity
+from quest_tpu.evals.sim_attention import quest_sim_attention
+from quest_tpu.models.llama import init_params
+
+
+class ToyTokenizer:
+    """Byte-level tokenizer for smoke tests."""
+
+    eos_token_id = 0
+
+    def encode(self, text, add_special_tokens=True):
+        return [1 + (b % 250) for b in text.encode()][:4000]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(max(32, i)) for i in ids)
+
+
+def tiny_engine(budget=64, max_seq=2048):
+    cfg = ModelConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=4, head_dim=16,
+                      rope=RopeConfig(), dtype=jnp.float32)
+    quest = QuestConfig(page_size=16, token_budget=budget,
+                        max_seq_len=max_seq, skip_layers=1,
+                        kv_dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return QuestEngine(cfg, quest, params, batch_size=1, prefill_bucket=64)
+
+
+def test_perplexity_smoke():
+    eng = tiny_engine()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 256, size=120).tolist()
+    ppl = evaluate_perplexity(eng, ids, num_eval_tokens=40,
+                              warmup_prefill=16)
+    assert math.isfinite(ppl) and ppl > 1.0
+    # Random model on random tokens: ppl should be near vocab size.
+    assert 20 < ppl < 4000
+
+
+def test_passkey_prompt_structure():
+    ctx, question, key = build_passkey_prompt(2000, seed=3,
+                                              depth_ratio=0.5)
+    assert key in ctx and len(key) == 5
+    assert "pass key" in question
+    ctx2, _, key2 = build_passkey_prompt(2000, seed=3, depth_ratio=0.5)
+    assert ctx2 == ctx and key2 == key  # deterministic per seed
+
+
+def test_passkey_harness_runs():
+    eng = tiny_engine(budget=64, max_seq=2048)
+    tok = ToyTokenizer()
+    res = evaluate_passkey(eng, tok, n_garbage=800, iterations=2,
+                           max_new_tokens=3, depth_ratios=[0.5])
+    assert res.total == 2
+    assert 0.0 <= res.accuracy <= 1.0
+
+
+def test_metrics():
+    assert qa_f1_score("Paris", "paris") == 1.0
+    assert qa_f1_score("the answer is Paris", "Paris") > 0
+    assert qa_f1_score("London", "Paris") == 0.0
+    assert rouge_l_score("a b c d", "a b c d") == 1.0
+    assert 0 < rouge_l_score("a b x d", "a b c d") < 1.0
+    assert retrieval_score("Paragraph 7", "Paragraph 7") == 1.0
+    assert retrieval_score("Paragraph 3", "Paragraph 7") == 0.0
+    assert classification_score("label_a", "label_a",
+                                ["label_a", "label_b"]) == 1.0
+    s = score_task("qasper", ["Paris", "no"], [["paris"], ["yes"]])
+    assert s == 50.0
+
+
+def test_sim_attention_matches_dense_when_budget_full():
+    rng = np.random.default_rng(1)
+    B, H, T, D = 1, 2, 37, 16
+    q = jnp.asarray(rng.standard_normal((B, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    sm = 1 / math.sqrt(D)
+    out = quest_sim_attention(q, k, v, token_budget=10_000, chunk_size=16,
+                              sm_scale=sm)
+    # full budget -> all chunks kept -> plain softmax attention
+    s = jnp.einsum("bhd,bhtd->bht", q, k) * sm
+    p = jax.nn.softmax(s, axis=-1)
+    want = jnp.einsum("bht,bhtd->bhd", p, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sim_attention_selects_heavy_chunk():
+    """A chunk holding a huge-score key must survive selection."""
+    rng = np.random.default_rng(2)
+    B, H, T, D, chunk = 1, 1, 64, 16, 16
+    q = jnp.ones((B, H, D), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32)) * 0.01
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+    k = k.at[0, 0, 40].set(5.0)  # heavy hitter in chunk 2
+    out = quest_sim_attention(q, k, v, token_budget=48, chunk_size=chunk,
+                              sm_scale=1 / math.sqrt(D))
+    # heavy key dominates: output ~ its value
+    np.testing.assert_allclose(np.asarray(out[0, 0]),
+                               np.asarray(v[0, 0, 40]), atol=0.2)
