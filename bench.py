@@ -37,6 +37,7 @@ def main():
     from quest_tpu.ops.estimate import page_scores
     from quest_tpu.ops.sparse_decode import sparse_decode_attention
     from quest_tpu.ops.topk import select_pages
+    from quest_tpu.utils.benchmarking import bench_op
 
     on_tpu = jax.default_backend() == "tpu"
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
@@ -63,28 +64,28 @@ def main():
     q = jnp.asarray((rng.standard_normal((B, Hq, D)) * 0.3).astype(np.float32))
     k_flat, v_flat = contiguous_kv(layer)
 
-    @jax.jit
-    def dense_fn(q, k_flat, v_flat):
-        return dense_decode_attention(q, k_flat, v_flat, seq, sm_scale=sm)
+    # Slope-timed on device (utils/benchmarking.py): a fori_loop chain
+    # with data-dependent feedback at two trip counts; fixed dispatch /
+    # fetch costs cancel exactly. Big arrays ride `env`, not closures.
+    def fb(x, y):
+        dep = jnp.tanh(jnp.sum(y.astype(jnp.float32))) * 1e-3
+        return (x + dep.astype(x.dtype)).astype(x.dtype)
 
-    @jax.jit
-    def sparse_fn(q, lay):
-        scores = page_scores(q, lay.k_min, lay.k_max)
+    t_dense = bench_op(
+        lambda q, env: fb(q, dense_decode_attention(q, env[0], env[1], seq,
+                                                    sm_scale=sm)),
+        q, env=(k_flat, v_flat))
+
+    def sparse_step(q, env):
+        kp, vp, kmin, kmax = env
+        scores = page_scores(q, kmin, kmax)
         idx, num_valid = select_pages(scores, seq, page, S)
-        return sparse_decode_attention(q, lay.k_pages, lay.v_pages,
-                                       idx, num_valid, seq, sm_scale=sm)
+        return fb(q, sparse_decode_attention(q, kp, vp, idx, num_valid,
+                                             seq, sm_scale=sm))
 
-    def timeit(fn, iters=50):
-        jax.block_until_ready(fn())      # compile + warm
-        jax.block_until_ready(fn())
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fn()
-        jax.block_until_ready(r)
-        return (time.perf_counter() - t0) / iters
-
-    t_dense = timeit(lambda: dense_fn(q, k_flat, v_flat))
-    t_sparse = timeit(lambda: sparse_fn(q, layer))
+    t_sparse = bench_op(sparse_step, q,
+                        env=(layer.k_pages, layer.v_pages,
+                             layer.k_min, layer.k_max))
     speedup = t_dense / t_sparse
 
     # Bytes-moved accounting (NVBench analogue,

@@ -51,27 +51,32 @@ def _kernel(ppb: int, page: int, meta_ref, idx_ref,
     nv_blocks = pl.cdiv(num_valid, ppb)
 
     def start_copies(blk, slot):
+        # All 2*ppb page copies of a block signal ONE shared semaphore;
+        # completion is a single bulk wait (scalar-core issue cost is
+        # the bottleneck at 4 KB/page granularity).
         for i in range(ppb):
             pid = idx_ref[b, h, blk * ppb + i]
             pltpu.make_async_copy(
                 k_hbm.at[b, h, pid],
                 k_buf.at[slot, pl.ds(i * page, page), :],
-                sems.at[slot, 0, i],
+                sems.at[slot],
             ).start()
             pltpu.make_async_copy(
                 v_hbm.at[b, h, pid],
                 v_buf.at[slot, pl.ds(i * page, page), :],
-                sems.at[slot, 1, i],
+                sems.at[slot],
             ).start()
 
     def wait_copies(slot):
-        for i in range(ppb):
-            pltpu.make_async_copy(
-                k_hbm.at[b, h, 0], k_buf.at[slot, pl.ds(i * page, page), :],
-                sems.at[slot, 0, i]).wait()
-            pltpu.make_async_copy(
-                v_hbm.at[b, h, 0], v_buf.at[slot, pl.ds(i * page, page), :],
-                sems.at[slot, 1, i]).wait()
+        # DMA semaphores count BYTES (see jax pallas mosaic lowering:
+        # `wait_dma2` decrements by the dst ref's byte size), so one
+        # wait on a ref covering the whole slot buffer absorbs all ppb
+        # page-copy completions that signalled this semaphore — 2 waits
+        # per block instead of 2*ppb.
+        pltpu.make_async_copy(k_buf.at[slot], k_buf.at[slot],
+                              sems.at[slot]).wait()
+        pltpu.make_async_copy(v_buf.at[slot], v_buf.at[slot],
+                              sems.at[slot]).wait()
 
     @pl.when(j == 0)
     def _():
@@ -132,7 +137,7 @@ def _kernel(ppb: int, page: int, meta_ref, idx_ref,
                                              "interpret"))
 def sparse_decode_attention(q, k_pages, v_pages, indices, num_valid,
                             seq_lens, *, sm_scale: float,
-                            pages_per_block: int = 8,
+                            pages_per_block: int = 16,
                             interpret: bool | None = None):
     """Decode attention over selected pages.
 
@@ -184,7 +189,7 @@ def sparse_decode_attention(q, k_pages, v_pages, indices, num_valid,
         scratch_shapes=[
             pltpu.VMEM((2, ppb * page, D), k_pages.dtype),
             pltpu.VMEM((2, ppb * page, D), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, ppb)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((Gp, 128), jnp.float32),
             pltpu.VMEM((Gp, 128), jnp.float32),
             pltpu.VMEM((Gp, D), jnp.float32),

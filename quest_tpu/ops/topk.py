@@ -26,8 +26,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = jnp.float32(-jnp.inf)
-_POS_INF = jnp.float32(jnp.inf)
+# Plain Python floats: creating jnp scalars at import time would
+# initialize the JAX backend before callers can select a platform.
+_NEG_INF = float("-inf")
+_POS_INF = float("inf")
 
 
 def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,

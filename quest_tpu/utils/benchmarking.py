@@ -23,22 +23,29 @@ import numpy as np
 
 
 def bench_op(step_fn: Callable, x0, iters: Tuple[int, int] = (4, 36),
-             reps: int = 3) -> float:
+             reps: int = 3, env=None) -> float:
     """Seconds per iteration of ``step_fn`` (x -> x, same pytree shape).
 
     ``step_fn`` must make the next iteration data-depend on the previous
     result (e.g. ``q + tiny * out``) so XLA cannot hoist or elide it.
+
+    ``env``: optional pytree of loop-invariant arrays; pass anything
+    large here instead of closing over it — closures become jit
+    *constants* and huge ones overflow the remote-compile request.
+    With env, ``step_fn(x, env)`` is called instead of ``step_fn(x)``.
     """
     lo, hi = iters
 
     @jax.jit
-    def chain(x, n, salt):
+    def chain(x, n, salt, env):
         # Salt the input: the execution tunnel memoizes identical
         # (program, args) dispatches, which would zero out the slope.
         x = jax.tree.map(
             lambda l: (l + salt.astype(jnp.float32).astype(l.dtype))
             if jnp.issubdtype(l.dtype, jnp.floating) else l, x)
-        return jax.lax.fori_loop(0, n, lambda i, x: step_fn(x), x)
+        body = ((lambda i, x: step_fn(x, env)) if env is not None
+                else (lambda i, x: step_fn(x)))
+        return jax.lax.fori_loop(0, n, body, x)
 
     @jax.jit
     def probe(x):
@@ -51,7 +58,7 @@ def bench_op(step_fn: Callable, x0, iters: Tuple[int, int] = (4, 36),
         counter[0] += 1
         salt = jnp.float32(counter[0] * 1e-9)
         t0 = time.perf_counter()
-        np.asarray(probe(chain(x0, n, salt)))
+        np.asarray(probe(chain(x0, n, salt, env)))
         return time.perf_counter() - t0
 
     run(lo)

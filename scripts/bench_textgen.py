@@ -1,0 +1,115 @@
+"""End-to-end text-generation latency benchmark.
+
+Reference counterpart: `/root/reference/scripts/bench_textgen.py:39-106`
+and the sweep driver `bench_efficiency_e2e.sh` (budgets {512..4096,
+full-cache control} x ctx {8k,16k,32k}): prefill a random context once,
+then decode N tokens and report per-token latency. The full-cache
+control (token_budget = max_seq_len) reproduces the reference's
+budget=102400 dense control row.
+
+Weights are random (the reference uses real weights but latency is
+shape-determined); layer count is adjustable so the model + 32K paged
+cache fit a single 16 GB v5e chip.
+
+Usage:
+  python scripts/bench_textgen.py --ctx 32768 --budget 2048 --layers 8
+  python scripts/bench_textgen.py --budget full        # dense control
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="llama31-8b",
+                    choices=["llama31-8b", "longchat-7b", "mistral-7b",
+                             "tiny"])
+    ap.add_argument("--layers", type=int, default=8,
+                    help="override layer count to fit one chip")
+    ap.add_argument("--ctx", type=int, default=32768)
+    ap.add_argument("--budget", default="2048",
+                    help="token budget, or 'full' for the dense control")
+    ap.add_argument("--page", type=int, default=16)
+    ap.add_argument("--decode-tokens", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--skip-layers", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from quest_tpu.config import (QuestConfig, llama31_8b,
+                                  longchat_7b_v15_32k, mistral_7b_v03,
+                                  tiny_test_model)
+    from quest_tpu.engine import QuestEngine
+    from quest_tpu.models.llama import init_params
+
+    presets = {"llama31-8b": llama31_8b, "longchat-7b": longchat_7b_v15_32k,
+               "mistral-7b": mistral_7b_v03, "tiny": tiny_test_model}
+    cfg = presets[args.model]()
+    if args.layers:
+        cfg = dataclasses.replace(cfg, num_layers=args.layers)
+    on_tpu = jax.default_backend() == "tpu"
+    ctx = args.ctx if on_tpu else min(args.ctx, 1024)
+    budget = ctx if args.budget == "full" else int(args.budget)
+    quest = QuestConfig(page_size=args.page, token_budget=budget,
+                        max_seq_len=ctx + args.decode_tokens + args.page,
+                        skip_layers=args.skip_layers)
+    log(f"model={args.model} L={cfg.num_layers} Hq={cfg.num_heads} "
+        f"Hkv={cfg.num_kv_heads} ctx={ctx} budget={budget} "
+        f"backend={jax.default_backend()}")
+
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    engine = QuestEngine(cfg, quest, params, batch_size=args.batch,
+                         prefill_bucket=min(ctx, 2048))
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, cfg.vocab_size,
+                          size=(args.batch, ctx)).astype(np.int32)
+
+    # Prefill (timed after one throwaway warm-up for compile).
+    engine.prefill([p.tolist() for p in prompt])
+    engine.clear()
+    t0 = time.perf_counter()
+    logits = engine.prefill([p.tolist() for p in prompt])
+    t_prefill = time.perf_counter() - t0
+
+    # Decode: warm-up step compiles, then timed loop.
+    next_tok = np.argmax(logits, axis=-1).astype(np.int32)
+    engine.decode(next_tok)
+    t0 = time.perf_counter()
+    for _ in range(args.decode_tokens):
+        logits = engine.decode(next_tok)
+        next_tok = np.argmax(logits, axis=-1).astype(np.int32)
+    t_decode = (time.perf_counter() - t0) / args.decode_tokens
+    toks_per_s = args.batch / t_decode
+
+    log(f"prefill {ctx} tokens: {t_prefill*1e3:.1f} ms "
+        f"({ctx / t_prefill:.0f} tok/s)")
+    log(f"decode: {t_decode*1e3:.3f} ms/token ({toks_per_s:.1f} tok/s)")
+    print(json.dumps({
+        "model": args.model, "layers": cfg.num_layers, "ctx": ctx,
+        "budget": budget, "batch": args.batch,
+        "prefill_ms": round(t_prefill * 1e3, 1),
+        "decode_ms_per_token": round(t_decode * 1e3, 3),
+        "decode_tokens_per_s": round(toks_per_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
