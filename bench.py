@@ -32,7 +32,7 @@ def main():
     import jax.numpy as jnp
 
     from quest_tpu.config import ModelConfig, QuestConfig
-    from quest_tpu.kv.paged_kv import LayerKV, append_prefill, contiguous_kv, init_cache
+    from quest_tpu.kv.paged_kv import LayerKV, append_prefill, init_cache
     from quest_tpu.ops.dense_decode import dense_decode_attention
     from quest_tpu.ops.estimate import page_scores
     from quest_tpu.ops.sparse_decode import sparse_decode_attention
@@ -59,10 +59,8 @@ def main():
     v_new = (rng.standard_normal((B, CTX, Hkv, D)) * 0.3).astype(np.float32)
     layer = append_prefill(layer, jnp.asarray(k_new), jnp.asarray(v_new))
     seq = jnp.asarray([CTX], jnp.int32)
-    layer = LayerKV(layer.k_pages, layer.v_pages, layer.k_min, layer.k_max,
-                    seq)
+    layer = LayerKV(layer.kv_pages, layer.k_max, layer.k_min, seq)
     q = jnp.asarray((rng.standard_normal((B, Hq, D)) * 0.3).astype(np.float32))
-    k_flat, v_flat = contiguous_kv(layer)
 
     # Slope-timed on device (utils/benchmarking.py): a fori_loop chain
     # with data-dependent feedback at two trip counts; fixed dispatch /
@@ -72,20 +70,19 @@ def main():
         return (x + dep.astype(x.dtype)).astype(x.dtype)
 
     t_dense = bench_op(
-        lambda q, env: fb(q, dense_decode_attention(q, env[0], env[1], seq,
+        lambda q, env: fb(q, dense_decode_attention(q, env, seq,
                                                     sm_scale=sm)),
-        q, env=(k_flat, v_flat))
+        q, env=layer.kv_pages)
 
     def sparse_step(q, env):
-        kp, vp, kmin, kmax = env
-        scores = page_scores(q, kmin, kmax)
+        kv_pages, kmax, kmin = env
+        scores = page_scores(q, kmax, kmin)
         idx, num_valid = select_pages(scores, seq, page, S)
-        return fb(q, sparse_decode_attention(q, kp, vp, idx, num_valid,
+        return fb(q, sparse_decode_attention(q, kv_pages, idx, num_valid,
                                              seq, sm_scale=sm))
 
     t_sparse = bench_op(sparse_step, q,
-                        env=(layer.k_pages, layer.v_pages,
-                             layer.k_min, layer.k_max))
+                        env=(layer.kv_pages, layer.k_max, layer.k_min))
     speedup = t_dense / t_sparse
 
     # Bytes-moved accounting (NVBench analogue,

@@ -1,5 +1,5 @@
 from quest_tpu.kv.paged_kv import (LayerKV, PagedKVCache, append_decode,
-                                   append_prefill, contiguous_kv, init_cache)
+                                   append_prefill, init_cache)
 
 __all__ = ["LayerKV", "PagedKVCache", "append_decode", "append_prefill",
-           "contiguous_kv", "init_cache"]
+           "init_cache"]

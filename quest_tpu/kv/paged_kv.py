@@ -6,21 +6,25 @@ append+metadata CUDA kernels
 (`/root/reference/kernels/include/decode/decode_page.cuh:398-562`).
 
 TPU-first redesign:
-  * **Head-major layout** ``[L, B, Hkv, pages, page_size, head_dim]`` —
-    one page per (kv-head) is a contiguous ``16x128`` block, exactly one
-    bf16 VMEM tile, and the head axis is the natural tensor-parallel
+  * **Packed head-major layout** ``kv_pages [L, B, Hkv, pages, 2,
+    page_size, head_dim]`` (axis -3: 0=K, 1=V) — one page is a
+    contiguous ``[2, page, D]`` 8 KB bf16 block, so the sparse-decode
+    gather fetches a page's K *and* V with a single DMA descriptor
+    (scalar-core descriptor issue is the measured bottleneck at this
+    granularity), and the head axis is the natural tensor-parallel
     sharding axis (per-head page selection is shard-local).
+  * **Metadata as two dense contiguous arrays** ``k_max/k_min
+    [L, B, Hkv, pages, head_dim]`` (the reference stores these as the
+    K/V slots of a second paged cache, `controller.py:29-37`): the
+    estimate op consumes them as plain matmul operands. (Measured: a
+    packed ``[pages, 2, D]`` variant looks elegant but XLA lowers the
+    reshape-matmul 10x slower than two matmuls on contiguous arrays.)
   * **Static shapes**: the pool is pre-sized to ``max_pages``; a scalar
     ``seq_lens`` tracks fill. Pages of a sequence occupy slots
-    ``0..ceil(seq/page)-1`` in order, so the "page table" is the identity
-    and a flattened ``[pages*page_size]`` token view is contiguous —
-    appends become ``dynamic_update_slice`` (XLA keeps them in-place with
-    buffer donation). No per-step host planning, unlike the reference's
-    `begin_forward` re-uploading index tensors every token
-    (`/root/reference/quest/utils/controller.py:80-129`).
-  * **Metadata as dense arrays** ``k_min/k_max [L, B, Hkv, pages, D]``
-    instead of a second paged cache: the estimate op consumes them as
-    plain matmul operands.
+    ``0..ceil(seq/page)-1`` in order — appends are
+    ``dynamic_update_slice`` (kept in-place by donation). No per-step
+    host planning, unlike the reference's `begin_forward` re-uploading
+    index tensors every token (`controller.py:80-129`).
 
 Invariant: garbage data only ever exists at token positions ``>= seq_len``
 (inside the last partial page or in untouched pages); every consumer masks
@@ -31,12 +35,13 @@ entries only.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from quest_tpu.config import ModelConfig, QuestConfig
+
+K, V = 0, 1      # kv_pages axis -3
 
 
 @jax.tree_util.register_dataclass
@@ -44,27 +49,26 @@ from quest_tpu.config import ModelConfig, QuestConfig
 class PagedKVCache:
     """Whole-model paged KV state (a pytree; donate it through jit)."""
 
-    k_pages: jnp.ndarray   # [L, B, Hkv, P, page, D]
-    v_pages: jnp.ndarray   # [L, B, Hkv, P, page, D]
-    k_min: jnp.ndarray     # [L, B, Hkv, P, D]
+    kv_pages: jnp.ndarray  # [L, B, Hkv, P, 2, page, D]
     k_max: jnp.ndarray     # [L, B, Hkv, P, D]
+    k_min: jnp.ndarray     # [L, B, Hkv, P, D]
     seq_lens: jnp.ndarray  # [B] int32 — tokens currently stored
 
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[-2]
+        return self.kv_pages.shape[-2]
 
     @property
     def max_pages(self) -> int:
-        return self.k_pages.shape[-3]
+        return self.kv_pages.shape[-4]
 
     @property
     def batch_size(self) -> int:
-        return self.k_pages.shape[1]
+        return self.kv_pages.shape[1]
 
     def layer(self, l: int) -> "LayerKV":
-        return LayerKV(self.k_pages[l], self.v_pages[l],
-                       self.k_min[l], self.k_max[l], self.seq_lens)
+        return LayerKV(self.kv_pages[l], self.k_max[l], self.k_min[l],
+                       self.seq_lens)
 
 
 @jax.tree_util.register_dataclass
@@ -72,11 +76,20 @@ class PagedKVCache:
 class LayerKV:
     """Single-layer view used inside the per-layer scan body."""
 
-    k_pages: jnp.ndarray   # [B, Hkv, P, page, D]
-    v_pages: jnp.ndarray
+    kv_pages: jnp.ndarray  # [B, Hkv, P, 2, page, D]
+    k_max: jnp.ndarray     # [B, Hkv, P, D]
     k_min: jnp.ndarray     # [B, Hkv, P, D]
-    k_max: jnp.ndarray
     seq_lens: jnp.ndarray  # [B]
+
+    # Unpacked views (testing/oracle convenience; strided — not for the
+    # serving path).
+    @property
+    def k_pages(self) -> jnp.ndarray:
+        return self.kv_pages[:, :, :, K]
+
+    @property
+    def v_pages(self) -> jnp.ndarray:
+        return self.kv_pages[:, :, :, V]
 
 
 def init_cache(model: ModelConfig, quest: QuestConfig, batch_size: int = 1,
@@ -87,10 +100,9 @@ def init_cache(model: ModelConfig, quest: QuestConfig, batch_size: int = 1,
     P, page = quest.max_pages, quest.page_size
     dt = quest.kv_dtype
     return PagedKVCache(
-        k_pages=jnp.zeros((L, B, H, P, page, D), dtype=dt),
-        v_pages=jnp.zeros((L, B, H, P, page, D), dtype=dt),
-        k_min=jnp.zeros((L, B, H, P, D), dtype=dt),
+        kv_pages=jnp.zeros((L, B, H, P, 2, page, D), dtype=dt),
         k_max=jnp.zeros((L, B, H, P, D), dtype=dt),
+        k_min=jnp.zeros((L, B, H, P, D), dtype=dt),
         seq_lens=jnp.zeros((B,), dtype=jnp.int32),
     )
 
@@ -107,31 +119,33 @@ def append_decode(layer: LayerKV, k_new: jnp.ndarray,
     ``k_new, v_new``: [B, Hkv, D]; written at position ``seq_lens[b]``.
     Does NOT advance ``seq_lens`` (the model does that once per step).
     """
-    page = layer.k_pages.shape[-2]
+    page = layer.kv_pages.shape[-2]
 
-    def one(kp, vp, kmin, kmax, k, v, pos):
-        # kp/vp [Hkv, P, page, D]; kmin/kmax [Hkv, P, D]; k/v [Hkv, D]
+    def one(kv, kmax, kmin, k, v, pos):
+        # kv [Hkv, P, 2, page, D]; kmax/kmin [Hkv, P, D]; k/v [Hkv, D]
+        H, D = k.shape
         p_idx = pos // page
         e_idx = pos % page
-        kp = jax.lax.dynamic_update_slice(kp, k[:, None, None, :],
-                                          (0, p_idx, e_idx, 0))
-        vp = jax.lax.dynamic_update_slice(vp, v[:, None, None, :],
-                                          (0, p_idx, e_idx, 0))
-        H, D = k.shape
-        old_min = jax.lax.dynamic_slice(kmin, (0, p_idx, 0), (H, 1, D))[:, 0]
+        tok = jnp.stack([k, v], axis=1)[:, None, :, None, :]  # [H,1,2,1,D]
+        kv = jax.lax.dynamic_update_slice(kv, tok.astype(kv.dtype),
+                                          (0, p_idx, 0, e_idx, 0))
         old_max = jax.lax.dynamic_slice(kmax, (0, p_idx, 0), (H, 1, D))[:, 0]
+        old_min = jax.lax.dynamic_slice(kmin, (0, p_idx, 0), (H, 1, D))[:, 0]
         first = (e_idx == 0)
-        new_min = jnp.where(first, k, jnp.minimum(old_min, k))
         new_max = jnp.where(first, k, jnp.maximum(old_max, k))
-        kmin = jax.lax.dynamic_update_slice(kmin, new_min[:, None, :], (0, p_idx, 0))
-        kmax = jax.lax.dynamic_update_slice(kmax, new_max[:, None, :], (0, p_idx, 0))
-        return kp, vp, kmin, kmax
+        new_min = jnp.where(first, k, jnp.minimum(old_min, k))
+        kmax = jax.lax.dynamic_update_slice(
+            kmax, new_max[:, None].astype(kmax.dtype), (0, p_idx, 0))
+        kmin = jax.lax.dynamic_update_slice(
+            kmin, new_min[:, None].astype(kmin.dtype), (0, p_idx, 0))
+        return kv, kmax, kmin
 
-    kp, vp, kmin, kmax = jax.vmap(one)(
-        layer.k_pages, layer.v_pages, layer.k_min, layer.k_max,
-        k_new.astype(layer.k_pages.dtype), v_new.astype(layer.v_pages.dtype),
+    kv, kmax, kmin = jax.vmap(one)(
+        layer.kv_pages, layer.k_max, layer.k_min,
+        k_new.astype(layer.kv_pages.dtype),
+        v_new.astype(layer.kv_pages.dtype),
         layer.seq_lens)
-    return LayerKV(kp, vp, kmin, kmax, layer.seq_lens)
+    return LayerKV(kv, kmax, kmin, layer.seq_lens)
 
 
 # ---------------------------------------------------------------------------
@@ -150,54 +164,52 @@ def append_prefill(layer: LayerKV, k_new: jnp.ndarray, v_new: jnp.ndarray,
     Caller must guarantee ``seq_lens[b] + T <= max_pages * page``.
     """
     B, T, H, D = k_new.shape
-    page = layer.k_pages.shape[-2]
-    P = layer.k_pages.shape[-3]
+    page = layer.kv_pages.shape[-2]
+    P = layer.kv_pages.shape[-4]
     if new_lens is None:
         new_lens = jnp.full((B,), T, dtype=jnp.int32)
 
-    # Static window of pages touched by this append.
+    # Static window of pages touched by this append. W*page >= T + 2*page
+    # covers any in-page offset, including the clamp at the pool end.
     W = min(P, T // page + 2)
 
-    def one(kp, vp, kmin, kmax, k, v, offset, nlen):
-        # kp [Hkv, P, page, D]; k [T, Hkv, D]
-        # token-flattened write (pages × page_size are adjacent dims)
-        kp_flat = kp.reshape(H, P * page, D)
-        vp_flat = vp.reshape(H, P * page, D)
-        k_t = k.transpose(1, 0, 2).astype(kp.dtype)   # [Hkv, T, D]
-        v_t = v.transpose(1, 0, 2).astype(vp.dtype)
-        kp_flat = jax.lax.dynamic_update_slice(kp_flat, k_t, (0, offset, 0))
-        vp_flat = jax.lax.dynamic_update_slice(vp_flat, v_t, (0, offset, 0))
-        kp = kp_flat.reshape(H, P, page, D)
-        vp = vp_flat.reshape(H, P, page, D)
+    def one(kv, kmax, kmin, k, v, offset, nlen):
+        # kv [Hkv, P, 2, page, D]; k [T, Hkv, D]
+        k_t = k.transpose(1, 0, 2).astype(kv.dtype)   # [Hkv, T, D]
+        v_t = v.transpose(1, 0, 2).astype(kv.dtype)
+        p0 = jnp.minimum(offset // page, P - W)
+        local = offset - p0 * page                    # in-window token start
+        win = jax.lax.dynamic_slice(kv, (0, p0, 0, 0, 0),
+                                    (H, W, 2, page, D))
+        # Token-flattened K and V views of the window (free reshapes of
+        # the per-slot [W, page] axes after peeling the K/V axis).
+        win_k = win[:, :, K].reshape(H, W * page, D)
+        win_v = win[:, :, V].reshape(H, W * page, D)
+        win_k = jax.lax.dynamic_update_slice(win_k, k_t, (0, local, 0))
+        win_v = jax.lax.dynamic_update_slice(win_v, v_t, (0, local, 0))
+        win = jnp.stack([win_k.reshape(H, W, page, D),
+                         win_v.reshape(H, W, page, D)], axis=2)
+        kv = jax.lax.dynamic_update_slice(kv, win, (0, p0, 0, 0, 0))
 
         # Recompute min/max over the touched page window [p0, p0+W).
         new_len = offset + nlen
-        p0 = jnp.minimum(offset // page, P - W)
-        win = jax.lax.dynamic_slice(kp, (0, p0, 0, 0), (H, W, page, D))
-        win = win.astype(jnp.float32)
+        wkf = win[:, :, K].astype(jnp.float32)                # [H, W, page, D]
         tok_ids = ((p0 + jnp.arange(W))[:, None] * page
-                   + jnp.arange(page)[None, :])          # [W, page]
-        valid = (tok_ids < new_len)[None, :, :, None]     # [1, W, page, 1]
+                   + jnp.arange(page)[None, :])               # [W, page]
+        valid = (tok_ids < new_len)[None, :, :, None]         # [1, W, page, 1]
         big = jnp.float32(3.0e38)
-        wmin = jnp.min(jnp.where(valid, win, big), axis=2)    # [H, W, D]
-        wmax = jnp.max(jnp.where(valid, win, -big), axis=2)
+        wmax = jnp.max(jnp.where(valid, wkf, -big), axis=2)   # [H, W, D]
+        wmin = jnp.min(jnp.where(valid, wkf, big), axis=2)
         any_valid = jnp.any(valid, axis=2)                    # [1, W, 1]
-        old_min = jax.lax.dynamic_slice(kmin, (0, p0, 0), (H, W, D))
         old_max = jax.lax.dynamic_slice(kmax, (0, p0, 0), (H, W, D))
-        wmin = jnp.where(any_valid, wmin.astype(kmin.dtype), old_min)
+        old_min = jax.lax.dynamic_slice(kmin, (0, p0, 0), (H, W, D))
         wmax = jnp.where(any_valid, wmax.astype(kmax.dtype), old_max)
-        kmin = jax.lax.dynamic_update_slice(kmin, wmin, (0, p0, 0))
+        wmin = jnp.where(any_valid, wmin.astype(kmin.dtype), old_min)
         kmax = jax.lax.dynamic_update_slice(kmax, wmax, (0, p0, 0))
-        return kp, vp, kmin, kmax
+        kmin = jax.lax.dynamic_update_slice(kmin, wmin, (0, p0, 0))
+        return kv, kmax, kmin
 
-    kp, vp, kmin, kmax = jax.vmap(one)(
-        layer.k_pages, layer.v_pages, layer.k_min, layer.k_max,
-        k_new, v_new, layer.seq_lens, new_lens)
-    return LayerKV(kp, vp, kmin, kmax, layer.seq_lens)
-
-
-def contiguous_kv(layer: LayerKV) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Token-contiguous view ``[B, Hkv, P*page, D]`` (free reshape)."""
-    B, H, P, page, D = layer.k_pages.shape
-    return (layer.k_pages.reshape(B, H, P * page, D),
-            layer.v_pages.reshape(B, H, P * page, D))
+    kv, kmax, kmin = jax.vmap(one)(
+        layer.kv_pages, layer.k_max, layer.k_min, k_new, v_new,
+        layer.seq_lens, new_lens)
+    return LayerKV(kv, kmax, kmin, layer.seq_lens)

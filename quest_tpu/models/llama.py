@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from quest_tpu.config import ModelConfig, QuestConfig
 from quest_tpu.kv.paged_kv import (LayerKV, PagedKVCache, append_decode,
-                                   append_prefill, contiguous_kv)
+                                   append_prefill)
 from quest_tpu.ops.dense_decode import dense_decode_attention
 from quest_tpu.ops.estimate import page_scores
 from quest_tpu.ops.prefill import prefill_attention
@@ -128,19 +128,22 @@ class QuestModel:
 
         def sparse_branch(args):
             q, kv = args
-            scores = page_scores(q, kv.k_min, kv.k_max,
-                                 group_agg=quest.group_agg)
-            idx, num_valid = select_pages(scores, seq_lens, quest.page_size,
-                                          quest.page_budget)
-            return sparse_decode_attention(
-                q, kv.k_pages, kv.v_pages, idx, num_valid, seq_lens,
-                sm_scale=sm)
+            with jax.named_scope("quest_estimate"):
+                scores = page_scores(q, kv.k_max, kv.k_min,
+                                     group_agg=quest.group_agg)
+            with jax.named_scope("quest_topk"):
+                idx, num_valid = select_pages(scores, seq_lens,
+                                              quest.page_size,
+                                              quest.page_budget)
+            with jax.named_scope("quest_sparse_attn"):
+                return sparse_decode_attention(
+                    q, kv.kv_pages, idx, num_valid, seq_lens, sm_scale=sm)
 
         def dense_branch(args):
             q, kv = args
-            k_flat, v_flat = contiguous_kv(kv)
-            return dense_decode_attention(q, k_flat, v_flat, seq_lens,
-                                          sm_scale=sm)
+            with jax.named_scope("dense_decode_attn"):
+                return dense_decode_attention(q, kv.kv_pages, seq_lens,
+                                              sm_scale=sm)
 
         return jax.lax.cond(use_sparse, sparse_branch, dense_branch,
                             (q, layer_kv))
@@ -154,29 +157,40 @@ class QuestModel:
         H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
         sm = 1.0 / math.sqrt(D)
 
-        h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
-        q = (h @ lp["wq"]).reshape(B, T, H, D)
-        k = (h @ lp["wk"]).reshape(B, T, Hkv, D)
-        v = (h @ lp["wv"]).reshape(B, T, Hkv, D)
-        q = self._apply_rope(q, positions)
-        k = self._apply_rope(k, positions)
+        # named_scope = the NVTX-range analogue
+        # (`/root/reference/quest/models/QuestAttention.py:87-169`);
+        # scopes show up in jax.profiler / XProf traces.
+        with jax.named_scope("qkv_proj"):
+            h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+            q = (h @ lp["wq"]).reshape(B, T, H, D)
+            k = (h @ lp["wk"]).reshape(B, T, Hkv, D)
+            v = (h @ lp["wv"]).reshape(B, T, Hkv, D)
+        with jax.named_scope("rope"):
+            q = self._apply_rope(q, positions)
+            k = self._apply_rope(k, positions)
 
         if is_prefill:
-            layer_kv = append_prefill(layer_kv, k, v, new_lens=new_lens)
+            with jax.named_scope("append_kv_prefill"):
+                layer_kv = append_prefill(layer_kv, k, v, new_lens=new_lens)
             seq_new = layer_kv.seq_lens + new_lens
-            k_flat, v_flat = contiguous_kv(layer_kv)
-            attn = prefill_attention(q, k_flat, v_flat,
-                                     layer_kv.seq_lens, seq_new, sm_scale=sm)
+            with jax.named_scope("prefill_attn"):
+                attn = prefill_attention(q, layer_kv.kv_pages,
+                                         layer_kv.seq_lens, seq_new,
+                                         sm_scale=sm)
         else:
-            layer_kv = append_decode(layer_kv, k[:, 0], v[:, 0])
+            with jax.named_scope("append_kv_decode"):
+                layer_kv = append_decode(layer_kv, k[:, 0], v[:, 0])
             seq_new = layer_kv.seq_lens + 1
             attn = self._attn_decode(q[:, 0], layer_kv, use_sparse,
                                      seq_new)[:, None]
 
-        attn = attn.astype(x.dtype).reshape(B, T, H * D)
-        x = x + self._maybe_psum(attn @ lp["wo"])
-        h2 = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
-        mlp = (jax.nn.silu(h2 @ lp["w_gate"]) * (h2 @ lp["w_up"])) @ lp["w_down"]
+        with jax.named_scope("o_proj"):
+            attn = attn.astype(x.dtype).reshape(B, T, H * D)
+            x = x + self._maybe_psum(attn @ lp["wo"])
+        with jax.named_scope("mlp"):
+            h2 = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+            mlp = (jax.nn.silu(h2 @ lp["w_gate"])
+                   * (h2 @ lp["w_up"])) @ lp["w_down"]
         return x + self._maybe_psum(mlp), layer_kv
 
     # ------------------------------------------------------------------
@@ -191,21 +205,20 @@ class QuestModel:
         x = params["embed"][tokens].astype(cfg.dtype)
         positions = cache.seq_lens[:, None] + jnp.arange(T)[None, :]
 
-        L = cache.k_pages.shape[0]
+        L = cache.kv_pages.shape[0]
         use_sparse = jnp.arange(L) >= quest.skip_layers
 
         def body(x, xs):
-            lp, kp, vp, kmin, kmax, sp = xs
-            layer_kv = LayerKV(kp, vp, kmin, kmax, cache.seq_lens)
+            lp, kv, kmax, kmin, sp = xs
+            layer_kv = LayerKV(kv, kmax, kmin, cache.seq_lens)
             x, layer_kv = self._layer(x, lp, layer_kv, sp, positions,
                                       is_prefill, new_lens)
-            return x, (layer_kv.k_pages, layer_kv.v_pages,
-                       layer_kv.k_min, layer_kv.k_max)
+            return x, (layer_kv.kv_pages, layer_kv.k_max, layer_kv.k_min)
 
-        x, (kp, vp, kmin, kmax) = jax.lax.scan(
+        x, (kv, kmax, kmin) = jax.lax.scan(
             body, x,
-            (params["layers"], cache.k_pages, cache.v_pages,
-             cache.k_min, cache.k_max, use_sparse))
+            (params["layers"], cache.kv_pages, cache.k_max, cache.k_min,
+             use_sparse))
 
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         logits = (x.astype(jnp.float32)
@@ -213,7 +226,7 @@ class QuestModel:
         if self.tp_axis is not None:  # vocab-sharded lm_head
             logits = jax.lax.all_gather(logits, self.tp_axis, axis=-1,
                                         tiled=True)
-        new_cache = PagedKVCache(kp, vp, kmin, kmax,
+        new_cache = PagedKVCache(kv, kmax, kmin,
                                  cache.seq_lens + new_lens)
         return logits, new_cache
 
@@ -224,8 +237,17 @@ class QuestModel:
         return self._forward(params, cache, tokens, True, new_lens)
 
     def decode_step(self, params: Params, cache: PagedKVCache,
-                    tokens: jnp.ndarray):
-        """tokens: [B]; returns (logits [B, V], cache)."""
+                    tokens: jnp.ndarray,
+                    active: jnp.ndarray | None = None):
+        """tokens: [B]; returns (logits [B, V], cache).
+
+        ``active`` [B] bool (optional): slots with ``active=False`` do
+        not advance — their token is written into the garbage region at
+        ``seq_len`` (overwritten by the slot's next real append) and
+        ``seq_lens`` stays put. This is what lets a continuous-batching
+        scheduler run one decode step over a partially-filled batch.
+        """
+        new_lens = None if active is None else active.astype(jnp.int32)
         logits, cache = self._forward(params, cache, tokens[:, None],
-                                      False, None)
+                                      False, new_lens)
         return logits[:, 0], cache

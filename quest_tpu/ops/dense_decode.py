@@ -7,11 +7,14 @@ reference benchmarks against FlashInfer dense decode,
 `/root/reference/kernels/src/bench/bench_batch_decode.cu`).
 
 Because a single sequence's pages are slot-contiguous (see kv/paged_kv.py)
-the paged cache *is* a contiguous ``[B, Hkv, P*page, D]`` token stream,
-so this is a standard blocked flash-decode: the KV block index map is
-clamped at the last valid block (consecutive identical block indices make
-the Pallas pipeline skip the redundant DMA), and online-softmax state
-persists in VMEM scratch across the sequential KV grid dimension.
+the packed pool IS a sequential stream of ``[2, page, D]`` page blocks,
+so this is a standard blocked flash-decode over page-blocks: the KV
+block index map is clamped at the last valid block (consecutive
+identical block indices make the Pallas pipeline skip the redundant
+DMA), and online-softmax state persists in VMEM scratch across the
+sequential KV grid dimension. Each pipelined block carries K and V of
+``bp`` pages in one stream (block_t = bp*page tokens; 2048 tokens ≈
+691 GB/s measured on v5e, near HBM speed of light).
 """
 
 from __future__ import annotations
@@ -26,11 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
-def _kernel(block_t: int, seq_ref, q_ref, k_ref, v_ref, o_ref,
+def _kernel(bp: int, page: int, seq_ref, q_ref, kv_ref, o_ref,
             m_scr, l_scr, acc_scr):
     b = pl.program_id(0)
     j = pl.program_id(2)
     nb = pl.num_programs(2)
+    block_t = bp * page
     seq_len = seq_ref[b]
     nv_blocks = pl.cdiv(seq_len, block_t)
 
@@ -42,9 +46,10 @@ def _kernel(block_t: int, seq_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(j < nv_blocks)
     def _():
-        q = q_ref[0, 0]          # [Gp, D]
-        k = k_ref[0, 0]          # [block_t, D]
-        v = v_ref[0, 0]
+        q = q_ref[0, 0]                     # [Gp, D]
+        kv = kv_ref[0, 0]                   # [bp, 2, page, D]
+        k = kv[:, 0].reshape(block_t, -1)
+        v = kv[:, 1].reshape(block_t, -1)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         tok = j * block_t + jax.lax.broadcasted_iota(jnp.int32,
@@ -71,46 +76,45 @@ def _kernel(block_t: int, seq_ref, q_ref, k_ref, v_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_t",
                                              "interpret"))
-def dense_decode_attention(q, k_flat, v_flat, seq_lens, *, sm_scale: float,
-                           block_t: int = 512,
+def dense_decode_attention(q, kv_pages, seq_lens, *, sm_scale: float,
+                           block_t: int = 2048,
                            interpret: bool | None = None):
     """Decode attention over the full (valid-masked) cache.
 
-    q: [B, Hq, D]; k_flat/v_flat: [B, Hkv, T, D] (token-contiguous view of
-    the page pool); seq_lens: [B]. Returns [B, Hq, D] f32.
+    q: [B, Hq, D]; kv_pages: [B, Hkv, P, 2, page, D] packed pool;
+    seq_lens: [B]. Returns [B, Hq, D] f32.
     """
     if interpret is None:
         interpret = use_interpret()
     B, Hq, D = q.shape
-    _, Hkv, T, _ = k_flat.shape
+    _, Hkv, P, _, page, _ = kv_pages.shape
     G = Hq // Hkv
 
-    block_t = min(block_t, T)
-    if T % block_t != 0:
-        pad = round_up(T, block_t) - T
-        k_flat = jnp.pad(k_flat, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        v_flat = jnp.pad(v_flat, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        T += pad
-    nb = T // block_t
+    bp = max(1, min(block_t // page, P))
+    if P % bp != 0:
+        pad = round_up(P, bp) - P
+        kv_pages = jnp.pad(kv_pages,
+                           ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+        P += pad
+    nb = P // bp
 
     Gp = round_up(G, 16)
     qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
-    qg = qg.astype(k_flat.dtype)
+    qg = qg.astype(kv_pages.dtype)
 
     def kv_index(b, h, j, seq_ref):
         # Clamp at the last valid block: runs of identical indices make
         # the pipeline skip redundant DMAs for the invalid tail.
-        last = jnp.maximum(pl.cdiv(seq_ref[b], block_t) - 1, 0)
-        return (b, h, jnp.minimum(j, last), 0)
+        last = jnp.maximum(pl.cdiv(seq_ref[b], bp * page) - 1, 0)
+        return (b, h, jnp.minimum(j, last), 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv, nb),
         in_specs=[
             pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_t, D), kv_index),
-            pl.BlockSpec((1, 1, block_t, D), kv_index),
+            pl.BlockSpec((1, 1, bp, 2, page, D), kv_index),
         ],
         out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, *_: (b, h, 0, 0)),
         scratch_shapes=[
@@ -121,10 +125,10 @@ def dense_decode_attention(q, k_flat, v_flat, seq_lens, *, sm_scale: float,
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, block_t),
+        functools.partial(_kernel, bp, page),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
         interpret=interpret,
-    )(seq_lens.astype(jnp.int32), qg, k_flat, v_flat)
+    )(seq_lens.astype(jnp.int32), qg, kv_pages)
 
     return out[:, :, :G, :].reshape(B, Hq, D)

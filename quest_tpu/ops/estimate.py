@@ -9,10 +9,12 @@ an upper bound on the page's pre-softmax attention score.
 TPU-first observation: the elementwise max of the two products splits by
 the sign of q, so
     score = relu(q) @ maxK^T + min(q, 0) @ minK^T
-i.e. **two MXU matmuls** over the metadata arrays — no custom kernel
-needed; XLA fuses the relu/min into the matmul operands. (The eval-only
-simulation path uses the same sign trick:
-`/root/reference/evaluation/quest_attention.py:146-148`.)
+i.e. **two MXU matmuls** over the contiguous metadata arrays — no custom
+kernel needed; XLA fuses the relu/min into the matmul operands. (The
+eval-only simulation path uses the same sign trick:
+`/root/reference/evaluation/quest_attention.py:146-148`.) Measured
+alternative rejected: packing max/min into one ``[P, 2, D]`` array and
+doing a single ``[P, 2D]`` reshape-matmul lowers ~10x slower on TPU.
 
 GQA: queries are reshaped per KV-head group and scores are aggregated
 over the group (max or sum) so that page selection is per KV head —
@@ -29,34 +31,34 @@ import jax.numpy as jnp
 _HI = jax.lax.Precision.HIGHEST
 
 
-def page_scores(q: jnp.ndarray, k_min: jnp.ndarray, k_max: jnp.ndarray,
+def _group_scores(q: jnp.ndarray, k_max: jnp.ndarray,
+                  k_min: jnp.ndarray) -> jnp.ndarray:
+    """[B, Hq, D] x 2x[B, Hkv, P, D] -> [B, Hkv, G, P] f32."""
+    B, Hq, D = q.shape
+    Hkv = k_max.shape[1]
+    G = Hq // Hkv
+    qf = q.astype(jnp.float32).reshape(B, Hkv, G, D)
+    return (jnp.einsum("bkgd,bkpd->bkgp", jnp.maximum(qf, 0.0),
+                       k_max.astype(jnp.float32), precision=_HI)
+            + jnp.einsum("bkgd,bkpd->bkgp", jnp.minimum(qf, 0.0),
+                         k_min.astype(jnp.float32), precision=_HI))
+
+
+def page_scores(q: jnp.ndarray, k_max: jnp.ndarray, k_min: jnp.ndarray,
                 group_agg: str = "max") -> jnp.ndarray:
     """Criticality scores per KV head.
 
     Args:
       q: [B, Hq, D] current decode query (un-scaled; scores are only
          used for ranking within a head so the softmax scale is moot).
-      k_min/k_max: [B, Hkv, P, D] per-page metadata.
+      k_max/k_min: [B, Hkv, P, D] per-page metadata.
       group_agg: how to combine scores of the Hq//Hkv query heads that
          share a KV head ("max" | "sum").
 
     Returns:
       [B, Hkv, P] f32 scores.
     """
-    B, Hq, D = q.shape
-    Hkv = k_min.shape[1]
-    G = Hq // Hkv
-    qf = q.astype(jnp.float32).reshape(B, Hkv, G, D)
-    q_pos = jnp.maximum(qf, 0.0)
-    q_neg = jnp.minimum(qf, 0.0)
-    scores = (jnp.einsum("bkgd,bkpd->bkgp", q_pos,
-                         k_max.astype(jnp.float32),
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-              + jnp.einsum("bkgd,bkpd->bkgp", q_neg,
-                           k_min.astype(jnp.float32),
-                           preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST))
+    scores = _group_scores(q, k_max, k_min)
     if group_agg == "max":
         return scores.max(axis=2)
     elif group_agg == "sum":
@@ -64,18 +66,9 @@ def page_scores(q: jnp.ndarray, k_min: jnp.ndarray, k_max: jnp.ndarray,
     raise ValueError(f"unknown group_agg {group_agg!r}")
 
 
-def page_scores_per_qhead(q: jnp.ndarray, k_min: jnp.ndarray,
-                          k_max: jnp.ndarray) -> jnp.ndarray:
+def page_scores_per_qhead(q: jnp.ndarray, k_max: jnp.ndarray,
+                          k_min: jnp.ndarray) -> jnp.ndarray:
     """Un-aggregated scores [B, Hq, P] (used by the accuracy-simulation
     path, mirroring `/root/reference/evaluation/quest_attention.py`)."""
-    B, Hq, D = q.shape
-    Hkv = k_min.shape[1]
-    G = Hq // Hkv
-    qf = q.astype(jnp.float32).reshape(B, Hkv, G, D)
-    q_pos = jnp.maximum(qf, 0.0)
-    q_neg = jnp.minimum(qf, 0.0)
-    scores = (jnp.einsum("bkgd,bkpd->bkgp", q_pos, k_max.astype(jnp.float32),
-                         precision=_HI)
-              + jnp.einsum("bkgd,bkpd->bkgp", q_neg,
-                           k_min.astype(jnp.float32), precision=_HI))
-    return scores.reshape(B, Hq, -1)
+    B, Hq, _ = q.shape
+    return _group_scores(q, k_max, k_min).reshape(B, Hq, -1)

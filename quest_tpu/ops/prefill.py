@@ -4,10 +4,10 @@ Reference: `BatchPrefillWithPagedKVCacheKernel`
 (`/root/reference/kernels/include/prefill/prefill.cuh:688-870`, 1.1 kLoC
 of hand-scheduled MMA + permuted smem). On TPU this collapses to a
 standard blocked flash-attention Pallas kernel: pages of one sequence
-are slot-contiguous (kv/paged_kv.py) so the paged cache is read as a
-contiguous ``[B, Hkv, T, D]`` stream with ordinary pipelined BlockSpecs;
-the MXU and the Mosaic pipeliner replace the reference's wmma tiles and
-cp.async choreography.
+are slot-contiguous (kv/paged_kv.py) so the packed cache is read as a
+sequential stream of ``[2, page, D]`` page blocks with ordinary
+pipelined BlockSpecs; the MXU and the Mosaic pipeliner replace the
+reference's wmma tiles and cp.async choreography.
 
 Supports chunked prefill: queries sit at absolute positions
 ``offset + i`` (``offset`` = tokens already cached), enabling the
@@ -29,12 +29,13 @@ from jax.experimental.pallas import tpu as pltpu
 from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
-def _kernel(block_q: int, block_k: int, meta_ref, q_ref, k_ref, v_ref,
+def _kernel(block_q: int, bpk: int, page: int, meta_ref, q_ref, kv_ref,
             o_ref, m_scr, l_scr, acc_scr):
     b = pl.program_id(0)
     i = pl.program_id(2)
     j = pl.program_id(3)
     nb_k = pl.num_programs(3)
+    block_k = bpk * page
     offset = meta_ref[b, 0]
     kv_len = meta_ref[b, 1]
 
@@ -53,8 +54,9 @@ def _kernel(block_q: int, block_k: int, meta_ref, q_ref, k_ref, v_ref,
     @pl.when(j < hi)
     def _():
         q = q_ref[0, 0]          # [block_q, D]
-        k = k_ref[0, 0]          # [block_k, D]
-        v = v_ref[0, 0]
+        kv = kv_ref[0, 0]        # [bpk, 2, page, D]
+        k = kv[:, 0].reshape(block_k, -1)
+        v = kv[:, 1].reshape(block_k, -1)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         q_pos = offset + i * block_q + jax.lax.broadcasted_iota(
@@ -86,36 +88,37 @@ def _kernel(block_q: int, block_k: int, meta_ref, q_ref, k_ref, v_ref,
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_q",
                                              "block_k", "interpret"))
-def prefill_attention(q, k_flat, v_flat, q_offsets, kv_lens, *,
+def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
                       sm_scale: float, block_q: int = 256,
                       block_k: int = 512, interpret: bool | None = None):
     """Causal attention of T fresh queries over the paged cache.
 
-    q: [B, T, Hq, D] (rope already applied); k_flat/v_flat:
-    [B, Hkv, Tkv, D] token-contiguous cache view (new tokens already
-    appended); q_offsets: [B] tokens cached before this chunk;
+    q: [B, T, Hq, D] (rope already applied); kv_pages:
+    [B, Hkv, P, 2, page, D] packed pool (new tokens already appended);
+    q_offsets: [B] tokens cached before this chunk;
     kv_lens: [B] = q_offsets + real new length. Returns [B, T, Hq, D] f32.
     """
     if interpret is None:
         interpret = use_interpret()
     B, T, Hq, D = q.shape
-    _, Hkv, Tkv, _ = k_flat.shape
+    _, Hkv, P, _, page, _ = kv_pages.shape
     G = Hq // Hkv
 
     block_q = min(block_q, round_up(T, 16))
-    block_k = min(block_k, Tkv)
+    bpk = max(1, min(block_k // page, P))
+    block_k = bpk * page
 
     qt = (q.astype(jnp.float32) * sm_scale).transpose(0, 2, 1, 3)
     Tp = round_up(T, block_q)
     qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
-    qt = qt.astype(k_flat.dtype)          # [B, Hq, Tp, D]
-    if Tkv % block_k != 0:
-        pad = round_up(Tkv, block_k) - Tkv
-        k_flat = jnp.pad(k_flat, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        v_flat = jnp.pad(v_flat, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        Tkv += pad
+    qt = qt.astype(kv_pages.dtype)          # [B, Hq, Tp, D]
+    if P % bpk != 0:
+        pad = round_up(P, bpk) - P
+        kv_pages = jnp.pad(kv_pages,
+                           ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+        P += pad
     nb_q = Tp // block_q
-    nb_k = Tkv // block_k
+    nb_k = P // bpk
 
     meta = jnp.stack([q_offsets.astype(jnp.int32),
                       kv_lens.astype(jnp.int32)], axis=1)  # [B, 2]
@@ -126,7 +129,8 @@ def prefill_attention(q, k_flat, v_flat, q_offsets, kv_lens, *,
         max_q_pos = offset + (i + 1) * block_q - 1
         hi = jnp.minimum(pl.cdiv(max_q_pos + 1, block_k),
                          pl.cdiv(kv_len, block_k))
-        return (b, h * Hkv // Hq, jnp.minimum(j, jnp.maximum(hi - 1, 0)), 0)
+        return (b, h * Hkv // Hq, jnp.minimum(j, jnp.maximum(hi - 1, 0)),
+                0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -134,8 +138,7 @@ def prefill_attention(q, k_flat, v_flat, q_offsets, kv_lens, *,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D),
                          lambda b, h, i, j, *_: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k, D), kv_index),
-            pl.BlockSpec((1, 1, block_k, D), kv_index),
+            pl.BlockSpec((1, 1, bpk, 2, page, D), kv_index),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, D),
                                lambda b, h, i, j, *_: (b, h, i, 0)),
@@ -147,10 +150,10 @@ def prefill_attention(q, k_flat, v_flat, q_offsets, kv_lens, *,
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, block_q, block_k),
+        functools.partial(_kernel, block_q, bpk, page),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, Tp, D), jnp.float32),
         interpret=interpret,
-    )(meta, qt, k_flat, v_flat)
+    )(meta, qt, kv_pages)
 
     return out[:, :, :T].transpose(0, 2, 1, 3)

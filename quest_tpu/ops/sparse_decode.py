@@ -8,16 +8,19 @@ decode attention over them. The reference needs a host-side planner
 is statically scheduled and partial-softmax state lives in VMEM scratch
 that persists across sequential grid steps, so no planner exists.
 
-Design (TPU-first):
+Design (TPU-first). Scalar-core DMA descriptor issue is the measured
+bottleneck of this gather (~20 ns/descriptor ≈ the whole kernel's
+runtime at page-16 granularity), so the kernel is built around
+minimizing descriptor count and bookkeeping:
   * Page indices arrive via **scalar prefetch**
-    (`PrefetchScalarGridSpec`) so the kernel can start page DMAs before
-    compute — the TPU analogue of the reference's cp.async
-    double-buffering (`decode_attn.cuh:245-401`).
-  * KV pages stay in HBM (`memory_space=ANY`); the kernel manually DMAs
-    ``pages_per_block`` selected pages per grid step into a
-    double-buffered VMEM scratch, overlapping the next block's gather
-    with the current block's compute. One page per kv-head is a
-    contiguous ``[page_size, head_dim]`` = 16x128 bf16 tile.
+    (`PrefetchScalarGridSpec`) so addresses are known before compute.
+  * The packed pool layout (kv/paged_kv.py) keeps each page's K and V
+    adjacent as one ``[2, page, D]`` 8 KB block — ONE descriptor per
+    page fetches both (the reference streams K and V separately via
+    cp.async, `decode_attn.cuh:245-401`).
+  * ``ppb`` pages per grid step land in a double-buffered VMEM scratch;
+    all copies of a block signal one shared semaphore and completion is
+    a single whole-buffer wait (DMA semaphores count bytes).
   * Selection is per KV head (``indices [B, Hkv, S]``); the G query
     heads of a GQA group attend to the same gathered pages, giving an
     ``[G, page·ppb]`` MXU matmul per step and G-fold bandwidth reuse.
@@ -39,8 +42,8 @@ from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
 def _kernel(ppb: int, page: int, meta_ref, idx_ref,
-            q_ref, k_hbm, v_hbm, o_ref,
-            k_buf, v_buf, sems, m_scr, l_scr, acc_scr):
+            q_ref, kv_hbm, o_ref,
+            kv_buf, sems, m_scr, l_scr, acc_scr):
     b = pl.program_id(0)
     h = pl.program_id(1)
     j = pl.program_id(2)
@@ -51,31 +54,21 @@ def _kernel(ppb: int, page: int, meta_ref, idx_ref,
     nv_blocks = pl.cdiv(num_valid, ppb)
 
     def start_copies(blk, slot):
-        # All 2*ppb page copies of a block signal ONE shared semaphore;
-        # completion is a single bulk wait (scalar-core issue cost is
-        # the bottleneck at 4 KB/page granularity).
+        # One descriptor per page ([2, page, D] = K and V together);
+        # all signal the same per-slot semaphore.
         for i in range(ppb):
             pid = idx_ref[b, h, blk * ppb + i]
             pltpu.make_async_copy(
-                k_hbm.at[b, h, pid],
-                k_buf.at[slot, pl.ds(i * page, page), :],
-                sems.at[slot],
-            ).start()
-            pltpu.make_async_copy(
-                v_hbm.at[b, h, pid],
-                v_buf.at[slot, pl.ds(i * page, page), :],
+                kv_hbm.at[b, h, pid],
+                kv_buf.at[slot, i],
                 sems.at[slot],
             ).start()
 
     def wait_copies(slot):
-        # DMA semaphores count BYTES (see jax pallas mosaic lowering:
+        # DMA semaphores count BYTES (jax pallas mosaic lowering:
         # `wait_dma2` decrements by the dst ref's byte size), so one
-        # wait on a ref covering the whole slot buffer absorbs all ppb
-        # page-copy completions that signalled this semaphore — 2 waits
-        # per block instead of 2*ppb.
-        pltpu.make_async_copy(k_buf.at[slot], k_buf.at[slot],
-                              sems.at[slot]).wait()
-        pltpu.make_async_copy(v_buf.at[slot], v_buf.at[slot],
+        # wait on the whole slot buffer absorbs all ppb completions.
+        pltpu.make_async_copy(kv_buf.at[slot], kv_buf.at[slot],
                               sems.at[slot]).wait()
 
     @pl.when(j == 0)
@@ -93,9 +86,10 @@ def _kernel(ppb: int, page: int, meta_ref, idx_ref,
     def _():
         slot = j % 2
         wait_copies(slot)
-        q = q_ref[0, 0]                      # [Gp, D]
-        k = k_buf[slot]                      # [ppb*page, D]
-        v = v_buf[slot]
+        q = q_ref[0, 0]                          # [Gp, D]
+        kv = kv_buf[slot]                        # [ppb, 2, page, D]
+        k = kv[:, 0].reshape(ppb * page, -1)
+        v = kv[:, 1].reshape(ppb * page, -1)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)   # [Gp, ppb*page]
@@ -135,7 +129,7 @@ def _kernel(ppb: int, page: int, meta_ref, idx_ref,
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "pages_per_block",
                                              "interpret"))
-def sparse_decode_attention(q, k_pages, v_pages, indices, num_valid,
+def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             seq_lens, *, sm_scale: float,
                             pages_per_block: int = 16,
                             interpret: bool | None = None):
@@ -143,7 +137,7 @@ def sparse_decode_attention(q, k_pages, v_pages, indices, num_valid,
 
     Args:
       q: [B, Hq, D] query for the current token (un-scaled).
-      k_pages/v_pages: [B, Hkv, P, page, D] paged cache.
+      kv_pages: [B, Hkv, P, 2, page, D] packed paged cache (0=K, 1=V).
       indices: [B, Hkv, S] int32 selected page ids (slots >= num_valid junk).
       num_valid: [B] int32 count of real slots.
       seq_lens: [B] int32 sequence lengths incl. the current token.
@@ -154,7 +148,7 @@ def sparse_decode_attention(q, k_pages, v_pages, indices, num_valid,
     if interpret is None:
         interpret = use_interpret()
     B, Hq, D = q.shape
-    _, Hkv, P, page, _ = k_pages.shape
+    _, Hkv, P, _, page, _ = kv_pages.shape
     S = indices.shape[-1]
     G = Hq // Hkv
 
@@ -169,7 +163,7 @@ def sparse_decode_attention(q, k_pages, v_pages, indices, num_valid,
     Gp = round_up(G, 16)
     qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
-    qg = qg.astype(k_pages.dtype)
+    qg = qg.astype(kv_pages.dtype)
 
     last_page = (seq_lens - 1) // page
     last_len = (seq_lens - 1) % page + 1
@@ -183,12 +177,10 @@ def sparse_decode_attention(q, k_pages, v_pages, indices, num_valid,
         in_specs=[
             pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, *_: (b, h, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, *_: (b, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, ppb * page, D), k_pages.dtype),
-            pltpu.VMEM((2, ppb * page, D), v_pages.dtype),
+            pltpu.VMEM((2, ppb, 2, page, D), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((Gp, 128), jnp.float32),
             pltpu.VMEM((Gp, 128), jnp.float32),
@@ -204,6 +196,6 @@ def sparse_decode_attention(q, k_pages, v_pages, indices, num_valid,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(meta, indices.astype(jnp.int32), qg, k_pages, v_pages)
+    )(meta, indices.astype(jnp.int32), qg, kv_pages)
 
     return out[:, :, :G, :].reshape(B, Hq, D)

@@ -53,10 +53,9 @@ def cache_specs() -> object:
     """PagedKVCache: batch on dp, KV heads on tp."""
     from quest_tpu.kv.paged_kv import PagedKVCache
     return PagedKVCache(
-        k_pages=P(None, DP_AXIS, TP_AXIS, None, None, None),
-        v_pages=P(None, DP_AXIS, TP_AXIS, None, None, None),
-        k_min=P(None, DP_AXIS, TP_AXIS, None, None),
+        kv_pages=P(None, DP_AXIS, TP_AXIS, None, None, None, None),
         k_max=P(None, DP_AXIS, TP_AXIS, None, None),
+        k_min=P(None, DP_AXIS, TP_AXIS, None, None),
         seq_lens=P(DP_AXIS),
     )
 

@@ -1,0 +1,81 @@
+"""Multi-host launch — `jax.distributed` lifecycle + host-sharded IO.
+
+New component vs the reference (single process, single GPU — SURVEY.md
+§2.4). On a TPU pod slice every host runs this same program; JAX
+discovers the slice topology from the TPU runtime, so
+``initialize_cluster()`` usually needs no arguments. The global mesh
+then spans all hosts: tensor-parallel axes ride ICI within a slice,
+data-parallel request sharding rides DCN across slices (standard
+"How to Scale Your Model" recipe).
+
+Helpers here cover the host-local <-> global array plumbing that a
+serving engine needs: forming a global batch from per-host requests and
+reading back the logits a host owns.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quest_tpu.parallel.mesh import DP_AXIS, TP_AXIS
+
+
+def initialize_cluster(coordinator_address: Optional[str] = None,
+                       num_processes: Optional[int] = None,
+                       process_id: Optional[int] = None) -> None:
+    """`jax.distributed.initialize` with TPU auto-detection.
+
+    On Cloud TPU the arguments are discovered from the metadata server /
+    TPU runtime; pass them explicitly only for manual (e.g. CPU-pod)
+    bring-up. Idempotent: safe to call when already initialized or when
+    running single-process (no-op).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except (ValueError, RuntimeError):
+        # Single-process run (tests, one-chip dev) — nothing to do.
+        pass
+
+
+def make_global_mesh(dp: Optional[int] = None,
+                     tp: Optional[int] = None) -> Mesh:
+    """Mesh over ALL devices of the cluster (every host must call this
+    with the same arguments). Defaults: tp = devices per host (ICI),
+    dp = number of hosts (DCN), the layout that keeps Quest's per-head
+    estimate/top-k/sparse-attention shard-local and sends only
+    activation-sized collectives across hosts.
+    """
+    n = jax.device_count()
+    if tp is None:
+        tp = jax.local_device_count()
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, (dp, tp, n)
+    dev = np.asarray(jax.devices()).reshape(dp, tp)
+    return Mesh(dev, axis_names=(DP_AXIS, TP_AXIS))
+
+
+def global_batch(mesh: Mesh, host_tokens: np.ndarray) -> jax.Array:
+    """Form a dp-sharded global [B_global, T] token array from each
+    host's local [B_local, T] slab (requests are fed per-host,
+    `jax.make_array_from_process_local_data`)."""
+    sharding = NamedSharding(mesh, P(DP_AXIS, None))
+    return jax.make_array_from_process_local_data(sharding, host_tokens)
+
+
+def host_local_logits(logits: jax.Array) -> np.ndarray:
+    """Gather the rows of the dp-sharded logits this host owns, in
+    batch order."""
+    shards = [(s.index[0].start or 0, np.asarray(s.data))
+              for s in logits.addressable_shards]
+    shards.sort(key=lambda t: t[0])
+    return np.concatenate([d for _, d in shards], axis=0)

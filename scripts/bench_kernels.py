@@ -42,7 +42,9 @@ def main():
     ap.add_argument("--head-dim", type=int, default=128)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--stages", type=str, default="all")
-    ap.add_argument("--iters", type=str, default="4,36")
+    ap.add_argument("--iters", type=str, default="4,36",
+                    help="fori_loop trip counts for the slope method "
+                         "(big kernels; cheap stages use 8x these)")
     args = ap.parse_args()
 
     import jax
@@ -50,8 +52,7 @@ def main():
 
     from quest_tpu.config import ModelConfig, QuestConfig
     from quest_tpu.kv.paged_kv import (LayerKV, append_decode,
-                                       append_prefill, contiguous_kv,
-                                       init_cache)
+                                       append_prefill, init_cache)
     from quest_tpu.ops.dense_decode import dense_decode_attention
     from quest_tpu.ops.estimate import page_scores
     from quest_tpu.ops.sparse_decode import sparse_decode_attention
@@ -61,6 +62,9 @@ def main():
     B, Hq, Hkv, D = args.batch, args.heads, args.kv_heads, args.head_dim
     page, CTX, BUDGET = args.page, args.ctx, args.budget
     iters = tuple(int(x) for x in args.iters.split(","))
+    # Cheap stages (<100 us) need ~8x the trip count to rise above the
+    # tunnel's per-dispatch noise floor.
+    iters_cheap = (iters[0] * 8, iters[1] * 8)
     model = ModelConfig(num_heads=Hq, num_kv_heads=Hkv, head_dim=D)
     quest = QuestConfig(page_size=page, token_budget=BUDGET,
                         max_seq_len=CTX)
@@ -78,12 +82,10 @@ def main():
     v_new = (rng.standard_normal((B, CTX, Hkv, D)) * 0.3).astype(np.float32)
     layer = append_prefill(layer, jnp.asarray(k_new), jnp.asarray(v_new))
     seq = jnp.full((B,), CTX, jnp.int32)
-    layer = LayerKV(layer.k_pages, layer.v_pages, layer.k_min, layer.k_max,
-                    seq)
+    layer = LayerKV(layer.kv_pages, layer.k_max, layer.k_min, seq)
     q0 = jnp.asarray(
         (rng.standard_normal((B, Hq, D)) * 0.3).astype(np.float32))
-    k_flat, v_flat = contiguous_kv(layer)
-    scores0 = page_scores(q0, layer.k_min, layer.k_max)
+    scores0 = page_scores(q0, layer.k_max, layer.k_min)
     idx0, nv0 = select_pages(scores0, seq, page, S)
 
     meta_bytes = 2 * B * Hkv * P * D * bpe
@@ -108,29 +110,28 @@ def main():
     if "estimate" in want:
         t = bench_op(
             lambda q, env: fb(q, page_scores(q, env[0], env[1])),
-            q0, iters=iters, env=(layer.k_min, layer.k_max))
+            q0, iters=iters_cheap, env=(layer.k_max, layer.k_min))
         report("estimate", t, meta_bytes)
 
     if "topk" in want:
         def topk_step(s):
             idx, nv = select_pages(s, seq, page, S)
             return fb(s, idx)
-        t = bench_op(topk_step, scores0, iters=iters)
+        t = bench_op(topk_step, scores0, iters=iters_cheap)
         report("topk", t, B * Hkv * P * 4)
 
     if "sparse" in want:
         t = bench_op(
             lambda q, env: fb(q, sparse_decode_attention(
-                q, env[0], env[1], env[2], env[3], seq, sm_scale=sm)),
-            q0, iters=iters,
-            env=(layer.k_pages, layer.v_pages, idx0, nv0))
+                q, env[0], env[1], env[2], seq, sm_scale=sm)),
+            q0, iters=iters, env=(layer.kv_pages, idx0, nv0))
         report("sparse_attn", t, pages_bytes)
 
     if "dense" in want:
         t = bench_op(
             lambda q, env: fb(q, dense_decode_attention(
-                q, env[0], env[1], seq, sm_scale=sm)),
-            q0, iters=iters, env=(k_flat, v_flat))
+                q, env, seq, sm_scale=sm)),
+            q0, iters=iters, env=layer.kv_pages)
         report("dense_attn", t, dense_bytes)
 
     if "append" in want:
@@ -138,22 +139,21 @@ def main():
 
         def append_step(lay):
             out = append_decode(lay, kv1, kv1)
-            return LayerKV(out.k_pages, out.v_pages, out.k_min, out.k_max,
+            return LayerKV(out.kv_pages, out.k_max, out.k_min,
                            lay.seq_lens)
-        t = bench_op(append_step, layer, iters=iters)
+        t = bench_op(append_step, layer, iters=iters_cheap)
         report("append_decode", t, 2 * B * Hkv * (page + 2) * D * bpe)
 
     if "pipeline" in want:
         def pipe_step(q, env):
-            kp, vp, kmin, kmax = env
-            s = page_scores(q, kmin, kmax)
+            kv_pages, kmax, kmin = env
+            s = page_scores(q, kmax, kmin)
             idx, nv = select_pages(s, seq, page, S)
-            o = sparse_decode_attention(q, kp, vp, idx, nv, seq,
+            o = sparse_decode_attention(q, kv_pages, idx, nv, seq,
                                         sm_scale=sm)
             return fb(q, o)
         t = bench_op(pipe_step, q0, iters=iters,
-                     env=(layer.k_pages, layer.v_pages, layer.k_min,
-                          layer.k_max))
+                     env=(layer.kv_pages, layer.k_max, layer.k_min))
         report("sparse_pipeline", t, meta_bytes + pages_bytes)
 
     print(json.dumps({k: round(v * 1e6, 1) for k, v in results.items()}))

@@ -7,7 +7,9 @@ checked against the `selected_single_mha`-style oracles, including the
 "injected indices" trick (`test_approx_attention.py:179-190`) that
 decouples top-k tie-breaking from attention correctness.
 
-Runs in Pallas interpreter mode on the CPU test mesh.
+Kernels consume the packed pool layout ``[B, H, P, 2, page, D]``
+(kv/paged_kv.py); oracles take unpacked views so they stay independent
+of the serving layout. Runs in Pallas interpreter mode on the CPU mesh.
 """
 
 import jax
@@ -24,10 +26,22 @@ from quest_tpu.ops.sparse_decode import sparse_decode_attention
 from quest_tpu.ops.topk import select_pages
 
 
-def make_paged(rng, B, Hkv, P, page, D, dtype=np.float32):
-    k = rng.standard_normal((B, Hkv, P, page, D)).astype(dtype)
-    v = rng.standard_normal((B, Hkv, P, page, D)).astype(dtype)
-    return jnp.asarray(k), jnp.asarray(v)
+def make_packed(rng, B, Hkv, P, page, D, dtype=np.float32):
+    """Returns (kv_pages [B,H,P,2,page,D], k_pages, v_pages views)."""
+    kv = rng.standard_normal((B, Hkv, P, 2, page, D)).astype(dtype)
+    kv = jnp.asarray(kv)
+    return kv, kv[:, :, :, 0], kv[:, :, :, 1]
+
+
+def flat_to_packed(k_flat, v_flat, page):
+    """[B,H,T,D] pair -> packed pages (T padded up to a page multiple)."""
+    B, H, T, D = k_flat.shape
+    pad = (-T) % page
+    k = jnp.pad(k_flat, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    v = jnp.pad(v_flat, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    P = (T + pad) // page
+    return jnp.stack([k.reshape(B, H, P, page, D),
+                      v.reshape(B, H, P, page, D)], axis=3)
 
 
 @pytest.mark.parametrize("seq_lens,page,budget,Hq,Hkv,D,ppb", [
@@ -44,7 +58,7 @@ def test_sparse_decode_matches_oracle(seq_lens, page, budget, Hq, Hkv, D,
     rng = np.random.default_rng(hash((tuple(seq_lens), page, budget)) % 2**31)
     B = len(seq_lens)
     P = max((s + page - 1) // page for s in seq_lens) + 2
-    k_pages, v_pages = make_paged(rng, B, Hkv, P, page, D)
+    kv_pages, k_pages, v_pages = make_packed(rng, B, Hkv, P, page, D)
     q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
     seq = jnp.asarray(np.array(seq_lens, np.int32))
     sm = 1.0 / np.sqrt(D)
@@ -55,7 +69,7 @@ def test_sparse_decode_matches_oracle(seq_lens, page, budget, Hq, Hkv, D,
 
     want = sparse_decode_attention_reference(q, k_pages, v_pages, idx,
                                              num_valid, seq, sm)
-    got = sparse_decode_attention(q, k_pages, v_pages, idx, num_valid, seq,
+    got = sparse_decode_attention(q, kv_pages, idx, num_valid, seq,
                                   sm_scale=sm, pages_per_block=ppb)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
@@ -71,6 +85,7 @@ def test_dense_decode_matches_oracle(seq_lens, Hq, Hkv, D, block_t):
     rng = np.random.default_rng(0)
     B = len(seq_lens)
     T = max(seq_lens) + 17
+    page = 16
     k = jnp.asarray(rng.standard_normal((B, Hkv, T, D)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((B, Hkv, T, D)).astype(np.float32))
     q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
@@ -78,7 +93,8 @@ def test_dense_decode_matches_oracle(seq_lens, Hq, Hkv, D, block_t):
     sm = 1.0 / np.sqrt(D)
 
     want = dense_decode_attention_reference(q, k, v, seq, sm)
-    got = dense_decode_attention(q, k, v, seq, sm_scale=sm, block_t=block_t)
+    got = dense_decode_attention(q, flat_to_packed(k, v, page), seq,
+                                 sm_scale=sm, block_t=block_t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
 
@@ -89,17 +105,15 @@ def test_sparse_with_all_pages_equals_dense():
     rng = np.random.default_rng(7)
     B, Hq, Hkv, D, page, P = 1, 4, 4, 64, 8, 6
     seq = jnp.asarray([int(P * page - 3)])
-    k_pages, v_pages = make_paged(rng, B, Hkv, P, page, D)
+    kv_pages, _, _ = make_packed(rng, B, Hkv, P, page, D)
     q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
     sm = 1.0 / np.sqrt(D)
 
     scores = jnp.asarray(rng.standard_normal((B, Hkv, P)).astype(np.float32))
     idx, num_valid = select_pages(scores, seq, page, P + 2)
-    sparse = sparse_decode_attention(q, k_pages, v_pages, idx, num_valid,
+    sparse = sparse_decode_attention(q, kv_pages, idx, num_valid,
                                      seq, sm_scale=sm, pages_per_block=4)
-    k_flat = k_pages.reshape(B, Hkv, P * page, D)
-    v_flat = v_pages.reshape(B, Hkv, P * page, D)
-    dense = dense_decode_attention(q, k_flat, v_flat, seq, sm_scale=sm,
+    dense = dense_decode_attention(q, kv_pages, seq, sm_scale=sm,
                                    block_t=16)
     np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
                                rtol=2e-3, atol=2e-3)
@@ -115,6 +129,7 @@ def test_sparse_with_all_pages_equals_dense():
 def test_prefill_matches_oracle(T, offset, Hq, Hkv, D, bq, bk):
     rng = np.random.default_rng(T * 31 + offset)
     B = 1
+    page = 8
     Tkv = offset + T + 9          # cache has padding tail
     k = jnp.asarray(rng.standard_normal((B, Hkv, Tkv, D)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((B, Hkv, Tkv, D)).astype(np.float32))
@@ -124,8 +139,8 @@ def test_prefill_matches_oracle(T, offset, Hq, Hkv, D, bq, bk):
     sm = 1.0 / np.sqrt(D)
 
     want = prefill_attention_reference(q, k, v, q_off, kv_lens, sm)
-    got = prefill_attention(q, k, v, q_off, kv_lens, sm_scale=sm,
-                            block_q=bq, block_k=bk)
+    got = prefill_attention(q, flat_to_packed(k, v, page), q_off, kv_lens,
+                            sm_scale=sm, block_q=bq, block_k=bk)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
 
@@ -133,6 +148,7 @@ def test_prefill_matches_oracle(T, offset, Hq, Hkv, D, bq, bk):
 def test_prefill_batched_mixed_offsets():
     rng = np.random.default_rng(5)
     B, T, Hq, Hkv, D = 2, 24, 4, 2, 64
+    page = 8
     offsets = np.array([0, 31], np.int32)
     Tkv = int(offsets.max()) + T + 5
     k = jnp.asarray(rng.standard_normal((B, Hkv, Tkv, D)).astype(np.float32))
@@ -142,7 +158,8 @@ def test_prefill_batched_mixed_offsets():
     sm = 1.0 / np.sqrt(D)
     want = prefill_attention_reference(q, k, v, jnp.asarray(offsets),
                                        kv_lens, sm)
-    got = prefill_attention(q, k, v, jnp.asarray(offsets), kv_lens,
+    got = prefill_attention(q, flat_to_packed(k, v, page),
+                            jnp.asarray(offsets), kv_lens,
                             sm_scale=sm, block_q=16, block_k=32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)

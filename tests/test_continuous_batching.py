@@ -1,0 +1,104 @@
+"""Continuous batching: staggered multi-request serving matches
+single-sequence generation.
+
+New coverage vs the reference (which is bsz=1 only, SURVEY.md §2.4).
+float32 throughout so batched and single runs are bit-comparable for
+greedy argmax.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quest_tpu.config import ModelConfig, QuestConfig, RopeConfig
+from quest_tpu.engine import ContinuousBatchingEngine, QuestEngine, Request
+from quest_tpu.models.llama import init_params
+
+
+def make_cfg():
+    return ModelConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+                       num_layers=2, num_heads=4, num_kv_heads=4,
+                       head_dim=16, rope=RopeConfig(), dtype=jnp.float32)
+
+
+def make_quest():
+    return QuestConfig(page_size=8, token_budget=32, max_seq_len=256,
+                       skip_layers=1, kv_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = make_cfg()
+    quest = make_quest()
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    return cfg, quest, params
+
+
+def _single_reference(cfg, quest, params, prompt, n_new):
+    eng = QuestEngine(cfg, quest, params, batch_size=1, prefill_bucket=16)
+    return eng.generate([prompt], max_new_tokens=n_new)[0]
+
+
+def test_more_requests_than_slots(setup):
+    cfg, quest, params = setup
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 256, size=n).tolist()
+               for n in (12, 30, 7, 21, 16)]
+    n_new = [5, 3, 8, 4, 6]
+
+    engine = ContinuousBatchingEngine(cfg, quest, params, max_batch=2,
+                                      prefill_bucket=16)
+    reqs = [Request(uid=i, prompt=p, max_new_tokens=k)
+            for i, (p, k) in enumerate(zip(prompts, n_new))]
+    outs = engine.run(reqs)
+
+    assert set(outs) == set(range(5))
+    for i, (p, k) in enumerate(zip(prompts, n_new)):
+        assert len(outs[i]) == k
+        expected = _single_reference(cfg, quest, params, p, k)
+        assert outs[i] == expected, f"request {i}: {outs[i]} != {expected}"
+
+
+def test_slots_recycled_and_interleaved(setup):
+    cfg, quest, params = setup
+    rng = np.random.default_rng(3)
+    engine = ContinuousBatchingEngine(cfg, quest, params, max_batch=2,
+                                      prefill_bucket=16)
+    # Short request finishes first; a queued one takes over its slot
+    # while the long request keeps decoding.
+    long_p = rng.integers(1, 256, size=20).tolist()
+    short_p = rng.integers(1, 256, size=9).tolist()
+    late_p = rng.integers(1, 256, size=14).tolist()
+    engine.submit(Request(uid=0, prompt=long_p, max_new_tokens=12))
+    engine.submit(Request(uid=1, prompt=short_p, max_new_tokens=2))
+    engine.submit(Request(uid=2, prompt=late_p, max_new_tokens=3))
+
+    gens = {0: [], 1: [], 2: []}
+    order = []
+    while engine.has_work():
+        for ev in engine.step():
+            gens[ev.uid].append(ev.token)
+            if ev.finished:
+                order.append(ev.uid)
+    assert order[0] == 1          # short one finished first
+    assert set(order) == {0, 1, 2}
+    for uid, prompt, k in ((0, long_p, 12), (1, short_p, 2),
+                           (2, late_p, 3)):
+        assert gens[uid] == _single_reference(cfg, quest, params, prompt, k)
+
+
+def test_eos_stops_early(setup):
+    cfg, quest, params = setup
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(1, 256, size=10).tolist()
+    ref = _single_reference(cfg, quest, params, prompt, 8)
+    eos = ref[3]  # force an early stop at the 4th generated token
+    engine = ContinuousBatchingEngine(cfg, quest, params, max_batch=2,
+                                      prefill_bucket=16)
+    outs = engine.run([Request(uid=0, prompt=prompt, max_new_tokens=8,
+                               eos_token_id=eos)])
+    assert outs[0] == ref[:4]

@@ -26,13 +26,13 @@ def test_estimate_matches_double_loop(Hq, Hkv):
     kmin, kmax = jnp.asarray(kmin_), jnp.asarray(kmax_)
 
     want = estimate_reference(q, kmin, kmax)        # [B, Hq, P]
-    got = page_scores_per_qhead(q, kmin, kmax)
+    got = page_scores_per_qhead(q, kmax, kmin)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
     # Group aggregation equals numpy agg of per-head scores.
     for agg, npfn in [("max", np.max), ("sum", np.sum)]:
-        got_g = np.asarray(page_scores(q, kmin, kmax, group_agg=agg))
+        got_g = np.asarray(page_scores(q, kmax, kmin, group_agg=agg))
         want_g = npfn(np.asarray(want).reshape(B, Hkv, Hq // Hkv, P), axis=2)
         np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-5)
 

@@ -12,7 +12,7 @@ import pytest
 
 from quest_tpu.config import ModelConfig, QuestConfig, tiny_test_model
 from quest_tpu.kv.paged_kv import (LayerKV, append_decode, append_prefill,
-                                   contiguous_kv, init_cache)
+                                   init_cache)
 
 
 def naive_metadata(k_tokens, seq_len, page_size, max_pages):
@@ -54,8 +54,8 @@ def run_appends(B, page_size, max_pages, H, D, steps, seed=0):
         else:
             layer = append_prefill(layer, jnp.asarray(k), jnp.asarray(v))
         seq_len = seq_len + t
-        layer = LayerKV(layer.k_pages, layer.v_pages, layer.k_min,
-                        layer.k_max, jnp.asarray(seq_len))
+        layer = LayerKV(layer.kv_pages, layer.k_max, layer.k_min,
+                        jnp.asarray(seq_len))
     return layer, all_k, all_v, seq_len
 
 
@@ -74,7 +74,9 @@ def test_append_and_metadata(steps):
     T = all_k.shape[1]
 
     # KV contents: flattened token view must equal the appended stream.
-    k_flat, v_flat = contiguous_kv(layer)
+    B_, H_, P_, page_, D_ = layer.k_pages.shape
+    k_flat = layer.k_pages.reshape(B_, H_, P_ * page_, D_)
+    v_flat = layer.v_pages.reshape(B_, H_, P_ * page_, D_)
     got_k = np.asarray(k_flat)[:, :, :T]          # [B, H, T, D]
     want_k = all_k.transpose(0, 2, 1, 3)
     np.testing.assert_allclose(got_k, want_k, rtol=0, atol=0)
