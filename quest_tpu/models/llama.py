@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from quest_tpu.config import ModelConfig, QuestConfig
 from quest_tpu.kv.paged_kv import (LayerKV, PagedKVCache, append_decode,
                                    append_prefill)
+from quest_tpu.models.quantize import QuantizedLinear, dequantize_weight, qdot
 from quest_tpu.ops.dense_decode import dense_decode_attention
 from quest_tpu.ops.estimate import page_scores
 from quest_tpu.ops.prefill import prefill_attention
@@ -162,9 +163,9 @@ class QuestModel:
         # scopes show up in jax.profiler / XProf traces.
         with jax.named_scope("qkv_proj"):
             h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
-            q = (h @ lp["wq"]).reshape(B, T, H, D)
-            k = (h @ lp["wk"]).reshape(B, T, Hkv, D)
-            v = (h @ lp["wv"]).reshape(B, T, Hkv, D)
+            q = qdot(h, lp["wq"]).reshape(B, T, H, D)
+            k = qdot(h, lp["wk"]).reshape(B, T, Hkv, D)
+            v = qdot(h, lp["wv"]).reshape(B, T, Hkv, D)
         with jax.named_scope("rope"):
             q = self._apply_rope(q, positions)
             k = self._apply_rope(k, positions)
@@ -186,11 +187,11 @@ class QuestModel:
 
         with jax.named_scope("o_proj"):
             attn = attn.astype(x.dtype).reshape(B, T, H * D)
-            x = x + self._maybe_psum(attn @ lp["wo"])
+            x = x + self._maybe_psum(qdot(attn, lp["wo"]))
         with jax.named_scope("mlp"):
             h2 = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
-            mlp = (jax.nn.silu(h2 @ lp["w_gate"])
-                   * (h2 @ lp["w_up"])) @ lp["w_down"]
+            mlp = qdot(jax.nn.silu(qdot(h2, lp["w_gate"]))
+                       * qdot(h2, lp["w_up"]), lp["w_down"])
         return x + self._maybe_psum(mlp), layer_kv
 
     # ------------------------------------------------------------------
@@ -221,8 +222,11 @@ class QuestModel:
              use_sparse))
 
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        logits = (x.astype(jnp.float32)
-                  @ params["lm_head"].astype(jnp.float32))
+        lm = params["lm_head"]
+        lm = (dequantize_weight(lm, jnp.float32)
+              if isinstance(lm, QuantizedLinear)
+              else lm.astype(jnp.float32))
+        logits = x.astype(jnp.float32) @ lm
         if self.tp_axis is not None:  # vocab-sharded lm_head
             logits = jax.lax.all_gather(logits, self.tp_axis, axis=-1,
                                         tiled=True)

@@ -1,0 +1,88 @@
+"""Weight-only quantization — the TPU analogue of the reference's AWQ path.
+
+The reference's best end-to-end number (2.23x at 32K ctx) uses 4-bit
+AWQ weights (`/root/reference/README.md:17,102`); decode latency is
+weight-bandwidth-bound, so shrinking weights is the complementary win
+to Quest's KV sparsity. Here: symmetric per-output-channel int8 (and
+packed int4) weight-only quantization. Dequantization is a cast+scale
+that XLA fuses into the matmul operand load — no custom kernel; HBM
+weight traffic halves (int8) or quarters (int4).
+
+``QuantizedLinear`` is a registered pytree whose ``bits`` is *static*
+metadata, so quantized layers ride `lax.scan` over stacked layers and
+`shard_map` sharding specs exactly like plain weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantizedLinear:
+    q: jnp.ndarray                 # int8 [..., in, out] (int4: [..., in/2, out])
+    s: jnp.ndarray                 # f32  [..., 1, out]
+    bits: int = dataclasses.field(default=8, metadata=dict(static=True))
+
+
+QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_weight(w: jnp.ndarray, bits: int = 8) -> QuantizedLinear:
+    """Symmetric per-output-channel quantization of ``[..., in, out]``."""
+    assert bits in (4, 8), bits
+    wf = w.astype(jnp.float32)
+    qmax = 127.0 if bits == 8 else 7.0
+    s = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / qmax  # [..., 1, out]
+    s = jnp.maximum(s, 1e-8)
+    q = jnp.clip(jnp.round(wf / s), -qmax, qmax).astype(jnp.int8)
+    if bits == 4:
+        # Pack two 4-bit values along the *in* axis: even rows in the low
+        # nibble, odd rows in the high nibble.
+        lo = q[..., 0::2, :] & 0x0F
+        hi = (q[..., 1::2, :] & 0x0F) << 4
+        q = (lo | hi).astype(jnp.int8)
+    return QuantizedLinear(q=q, s=s.astype(jnp.float32), bits=bits)
+
+
+def dequantize_weight(qw: QuantizedLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
+    q = qw.q
+    if qw.bits == 4:
+        lo = (q << 4) >> 4          # sign-extend low nibble (arith shift)
+        hi = q >> 4                  # sign-extend high nibble
+        parts = jnp.stack([lo, hi], axis=-2)          # [..., in/2, 2, out]
+        q = parts.reshape(*qw.q.shape[:-2], qw.q.shape[-2] * 2,
+                          qw.q.shape[-1])             # rows lo0,hi0,lo1,...
+    return (q.astype(jnp.float32) * qw.s).astype(dtype)
+
+
+def qdot(x: jnp.ndarray, w, dtype=None) -> jnp.ndarray:
+    """``x @ w`` where ``w`` is a plain array or a QuantizedLinear.
+
+    Dequant is expressed as cast*scale feeding the dot — XLA fuses it
+    into the matmul's operand read, so int8/int4 weights stream from
+    HBM at their compressed width.
+    """
+    if not isinstance(w, QuantizedLinear):
+        return x @ w
+    dtype = dtype or x.dtype
+    return x @ dequantize_weight(w, dtype)
+
+
+def quantize_params(params: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
+    """Quantize every linear in the stacked-params pytree
+    (models/llama.py layout). Embedding and norms stay in their dtype
+    (embedding reads are gathers, not matmuls)."""
+    out = {"embed": params["embed"],
+           "final_norm": params["final_norm"],
+           "layers": {}}
+    for k, v in params["layers"].items():
+        out["layers"][k] = (quantize_weight(v, bits)
+                            if k in QUANT_KEYS else v)
+    out["lm_head"] = quantize_weight(params["lm_head"], bits)
+    return out

@@ -20,7 +20,10 @@ minimizing descriptor count and bookkeeping:
     cp.async, `decode_attn.cuh:245-401`).
   * ``ppb`` pages per grid step land in a double-buffered VMEM scratch;
     all copies of a block signal one shared semaphore and completion is
-    a single whole-buffer wait (DMA semaphores count bytes).
+    a single whole-buffer wait (DMA semaphores count bytes). The gather
+    is HBM-random-access *latency* bound, so depth matters: measured on
+    v5e at 32K/2048 (MHA), ppb 16/32/64 -> 124/119/99 us (up to 128
+    outstanding 8 KB reads at ppb=64).
   * Selection is per KV head (``indices [B, Hkv, S]``); the G query
     heads of a GQA group attend to the same gathered pages, giving an
     ``[G, page·ppb]`` MXU matmul per step and G-fold bandwidth reuse.
@@ -131,7 +134,7 @@ def _kernel(ppb: int, page: int, meta_ref, idx_ref,
                                              "interpret"))
 def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             seq_lens, *, sm_scale: float,
-                            pages_per_block: int = 16,
+                            pages_per_block: int = 64,
                             interpret: bool | None = None):
     """Decode attention over selected pages.
 

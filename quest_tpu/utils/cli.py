@@ -71,6 +71,9 @@ def add_model_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU plugin "
                          "overrides JAX_PLATFORMS at import time)")
+    ap.add_argument("--quantize", type=int, default=0, choices=[0, 4, 8],
+                    help="weight-only quantization bits (0 = off); the "
+                         "AWQ-path analogue")
 
 
 def build_engine(args) -> Tuple["QuestEngine", object]:
@@ -107,5 +110,8 @@ def build_engine(args) -> Tuple["QuestEngine", object]:
                         skip_layers=args.skip_layers)
     if params is None:
         params = init_params(cfg, jax.random.PRNGKey(0))
+    if getattr(args, "quantize", 0):
+        from quest_tpu.models.quantize import quantize_params
+        params = quantize_params(params, args.quantize)
     engine = QuestEngine(cfg, quest, params, batch_size=args.batch)
     return engine, tok

@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--decode-tokens", type=int, default=128)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--skip-layers", type=int, default=2)
+    ap.add_argument("--quantize", type=int, default=0, choices=[0, 4, 8],
+                    help="weight-only quantization bits (the reference's "
+                         "2.23x e2e row uses 4-bit AWQ weights)")
     args = ap.parse_args()
 
     import jax
@@ -75,6 +78,9 @@ def main():
         f"backend={jax.default_backend()}")
 
     params = init_params(cfg, jax.random.PRNGKey(0))
+    if args.quantize:
+        from quest_tpu.models.quantize import quantize_params
+        params = quantize_params(params, args.quantize)
     engine = QuestEngine(cfg, quest, params, batch_size=args.batch,
                          prefill_bucket=min(ctx, 2048))
 
@@ -105,6 +111,7 @@ def main():
     print(json.dumps({
         "model": args.model, "layers": cfg.num_layers, "ctx": ctx,
         "budget": budget, "batch": args.batch,
+        "quantize_bits": args.quantize,
         "prefill_ms": round(t_prefill * 1e3, 1),
         "decode_ms_per_token": round(t_decode * 1e3, 3),
         "decode_tokens_per_s": round(toks_per_s, 1),
