@@ -90,7 +90,11 @@ class QuestConfig:
 
     @property
     def max_pages(self) -> int:
-        return (self.max_seq_len + self.page_size - 1) // self.page_size
+        """Pool size in pages, rounded up to a multiple of 64 so the
+        dense/prefill kernels' page-block tiling divides evenly (extra
+        pages are never addressed; cost is <~3% pool memory)."""
+        p = (self.max_seq_len + self.page_size - 1) // self.page_size
+        return ((p + 63) // 64) * 64
 
 
 # ---------------------------------------------------------------------------

@@ -46,8 +46,11 @@ class QuestEngine:
         self.model = QuestModel(cfg, quest)
         self.cache = init_cache(cfg, quest, batch_size)
 
-        self._prefill_fn = jax.jit(self.model.prefill, donate_argnums=(1,))
+        self._prefill_fn = jax.jit(self.model.prefill_last,
+                                   donate_argnums=(1,))
         self._decode_fn = jax.jit(self.model.decode_step, donate_argnums=(1,))
+        self._tok_fn = jax.jit(self.model.decode_token_step,
+                               donate_argnums=(1,))
 
     # -- lifecycle (quest_init/quest_clear analogues) --------------------
     def clear(self) -> None:
@@ -77,8 +80,8 @@ class QuestEngine:
             toks[b, :len(p)] = np.asarray(p, np.int32)
         logits, self.cache = self._prefill_fn(
             self.params, self.cache, jnp.asarray(toks), jnp.asarray(lens))
-        # last real token of each prompt within this chunk
-        return np.asarray(logits)[np.arange(B), lens - 1]
+        # logits already taken at the last real token of each chunk
+        return np.asarray(logits)[:, 0]
 
     def decode(self, tokens: Sequence[int]) -> np.ndarray:
         """One decode step for the batch; returns logits [B, V]."""
@@ -110,6 +113,30 @@ class QuestEngine:
             logits = self.decode(next_tok)
             next_tok = self._sample(logits, temperature, key, step + 1)
         return out
+
+    def generate_ondevice(self, prompts: Sequence[Sequence[int]],
+                          max_new_tokens: int,
+                          eos_token_id: Optional[int] = None
+                          ) -> List[List[int]]:
+        """Greedy generation as a pipeline of async donated decode
+        dispatches with NO per-step host sync — the device runs steps
+        back-to-back while the host races ahead enqueueing (the serving
+        path; a per-token fetch costs ~ms through remote dispatch).
+        Tokens are fetched once at the end; EOS is trimmed host-side."""
+        logits = self.prefill(prompts)
+        tok = jnp.asarray(np.argmax(logits, axis=-1).astype(np.int32))
+        toks = [tok]
+        for _ in range(max_new_tokens - 1):
+            tok, self.cache = self._tok_fn(self.params, self.cache, tok)
+            toks.append(tok)
+        out = np.stack([np.asarray(t) for t in toks], axis=1)  # [B, N]
+        res: List[List[int]] = []
+        for row in out:
+            row = row.tolist()
+            if eos_token_id is not None and eos_token_id in row:
+                row = row[: row.index(eos_token_id) + 1]
+            res.append(row)
+        return res
 
     @staticmethod
     def _sample(logits: np.ndarray, temperature: float, key, step: int):

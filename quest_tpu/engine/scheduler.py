@@ -79,7 +79,8 @@ class ContinuousBatchingEngine:
         self.prefill_bucket = prefill_bucket
         self.model = QuestModel(cfg, quest)
         self.cache = init_cache(cfg, quest, max_batch)
-        self._prefill_fn = jax.jit(self.model.prefill, donate_argnums=(1,))
+        self._prefill_fn = jax.jit(self.model.prefill_last,
+                                   donate_argnums=(1,))
         self._decode_fn = jax.jit(self.model.decode_step,
                                   donate_argnums=(1,))
         self.slots: List[Optional[_Slot]] = [None] * max_batch
@@ -132,8 +133,7 @@ class ContinuousBatchingEngine:
         events: List[StepEvent] = []
         for b, req in admits:
             rng = np.random.default_rng(self._seed * 7919 + req.uid)
-            first = self._sample(logits[b, len(req.prompt) - 1],
-                                 req.temperature, rng)
+            first = self._sample(logits[b, 0], req.temperature, rng)
             slot = _Slot(req=req, generated=[first], pending=first, rng=rng)
             self.slots[b] = slot
             events.append(self._maybe_finish(b, slot, first))

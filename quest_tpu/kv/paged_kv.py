@@ -213,3 +213,104 @@ def append_prefill(layer: LayerKV, k_new: jnp.ndarray, v_new: jnp.ndarray,
         layer.kv_pages, layer.k_max, layer.k_min, k_new, v_new,
         layer.seq_lens, new_lens)
     return LayerKV(kv, kmax, kmin, layer.seq_lens)
+
+
+# ---------------------------------------------------------------------------
+# Whole-pool variants with a STATIC layer index — the zero-copy serving
+# path. The unrolled model keeps the persistent [L, ...] pool arrays in
+# the donated step state; every append is a token-sized
+# dynamic_update_slice directly into the full buffer (XLA keeps donated
+# dus in place), and the attention kernels read the same buffer via
+# layer-indexed BlockSpecs. No per-layer slicing, stacking, or layout
+# copies (a scan-over-layers formulation measured ~1 full cache copy
+# per decode step).
+# ---------------------------------------------------------------------------
+
+def append_decode_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
+                     v_new: jnp.ndarray) -> PagedKVCache:
+    """Write one token per sequence into layer ``layer`` (static).
+
+    ``k_new, v_new``: [B, Hkv, D]; written at ``seq_lens[b]``. Returns a
+    cache whose arrays alias-update in place under donation.
+    """
+    kv, kmax, kmin = cache.kv_pages, cache.k_max, cache.k_min
+    page = kv.shape[-2]
+    B, H, D = k_new.shape
+    kq = k_new.astype(kv.dtype)
+    vq = v_new.astype(kv.dtype)
+    for b in range(B):
+        pos = cache.seq_lens[b]
+        p_idx = pos // page
+        e_idx = pos % page
+        tok = jnp.stack([kq[b], vq[b]], axis=1)  # [H, 2, D]
+        kv = jax.lax.dynamic_update_slice(
+            kv, tok[None, None, :, None, :, None, :],
+            (layer, b, 0, p_idx, 0, e_idx, 0))
+        old_max = jax.lax.dynamic_slice(
+            kmax, (layer, b, 0, p_idx, 0), (1, 1, H, 1, D))[0, 0, :, 0]
+        old_min = jax.lax.dynamic_slice(
+            kmin, (layer, b, 0, p_idx, 0), (1, 1, H, 1, D))[0, 0, :, 0]
+        first = (e_idx == 0)
+        new_max = jnp.where(first, kq[b], jnp.maximum(old_max, kq[b]))
+        new_min = jnp.where(first, kq[b], jnp.minimum(old_min, kq[b]))
+        kmax = jax.lax.dynamic_update_slice(
+            kmax, new_max[None, None, :, None, :].astype(kmax.dtype),
+            (layer, b, 0, p_idx, 0))
+        kmin = jax.lax.dynamic_update_slice(
+            kmin, new_min[None, None, :, None, :].astype(kmin.dtype),
+            (layer, b, 0, p_idx, 0))
+    return PagedKVCache(kv, kmax, kmin, cache.seq_lens)
+
+
+def append_prefill_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
+                      v_new: jnp.ndarray,
+                      new_lens: jnp.ndarray | None = None) -> PagedKVCache:
+    """Write ``T`` tokens per sequence into layer ``layer`` (static),
+    starting at ``seq_lens[b]``; window read-modify-write of the
+    touched pages only (see append_prefill for semantics)."""
+    kv, kmax, kmin = cache.kv_pages, cache.k_max, cache.k_min
+    B, T, H, D = k_new.shape
+    page = kv.shape[-2]
+    P = kv.shape[3]
+    if new_lens is None:
+        new_lens = jnp.full((B,), T, dtype=jnp.int32)
+    W = min(P, T // page + 2)
+
+    for b in range(B):
+        offset = cache.seq_lens[b]
+        nlen = new_lens[b]
+        k_t = k_new[b].transpose(1, 0, 2).astype(kv.dtype)  # [H, T, D]
+        v_t = v_new[b].transpose(1, 0, 2).astype(kv.dtype)
+        p0 = jnp.minimum(offset // page, P - W)
+        local = offset - p0 * page
+        win = jax.lax.dynamic_slice(kv, (layer, b, 0, p0, 0, 0, 0),
+                                    (1, 1, H, W, 2, page, D))[0, 0]
+        win_k = win[:, :, K].reshape(H, W * page, D)
+        win_v = win[:, :, V].reshape(H, W * page, D)
+        win_k = jax.lax.dynamic_update_slice(win_k, k_t, (0, local, 0))
+        win_v = jax.lax.dynamic_update_slice(win_v, v_t, (0, local, 0))
+        win = jnp.stack([win_k.reshape(H, W, page, D),
+                         win_v.reshape(H, W, page, D)], axis=2)
+        kv = jax.lax.dynamic_update_slice(kv, win[None, None],
+                                          (layer, b, 0, p0, 0, 0, 0))
+
+        new_len = offset + nlen
+        wkf = win[:, :, K].astype(jnp.float32)
+        tok_ids = ((p0 + jnp.arange(W))[:, None] * page
+                   + jnp.arange(page)[None, :])
+        valid = (tok_ids < new_len)[None, :, :, None]
+        big = jnp.float32(3.0e38)
+        wmax = jnp.max(jnp.where(valid, wkf, -big), axis=2)
+        wmin = jnp.min(jnp.where(valid, wkf, big), axis=2)
+        any_valid = jnp.any(valid, axis=2)
+        old_max = jax.lax.dynamic_slice(kmax, (layer, b, 0, p0, 0),
+                                        (1, 1, H, W, D))[0, 0]
+        old_min = jax.lax.dynamic_slice(kmin, (layer, b, 0, p0, 0),
+                                        (1, 1, H, W, D))[0, 0]
+        wmax = jnp.where(any_valid, wmax.astype(kmax.dtype), old_max)
+        wmin = jnp.where(any_valid, wmin.astype(kmin.dtype), old_min)
+        kmax = jax.lax.dynamic_update_slice(kmax, wmax[None, None],
+                                            (layer, b, 0, p0, 0))
+        kmin = jax.lax.dynamic_update_slice(kmin, wmin[None, None],
+                                            (layer, b, 0, p0, 0))
+    return PagedKVCache(kv, kmax, kmin, cache.seq_lens)

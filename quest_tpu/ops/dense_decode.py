@@ -47,7 +47,7 @@ def _kernel(bp: int, page: int, seq_ref, q_ref, kv_ref, o_ref,
     @pl.when(j < nv_blocks)
     def _():
         q = q_ref[0, 0]                     # [Gp, D]
-        kv = kv_ref[0, 0]                   # [bp, 2, page, D]
+        kv = kv_ref[...].reshape(bp, 2, page, q.shape[-1])
         k = kv[:, 0].reshape(block_t, -1)
         v = kv[:, 1].reshape(block_t, -1)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -75,27 +75,38 @@ def _kernel(bp: int, page: int, seq_ref, q_ref, kv_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_t",
-                                             "interpret"))
+                                             "interpret", "layer"))
 def dense_decode_attention(q, kv_pages, seq_lens, *, sm_scale: float,
                            block_t: int = 2048,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           layer: int | None = None):
     """Decode attention over the full (valid-masked) cache.
 
-    q: [B, Hq, D]; kv_pages: [B, Hkv, P, 2, page, D] packed pool;
+    q: [B, Hq, D]; kv_pages: [B, Hkv, P, 2, page, D] packed pool — or
+    the whole-model pool [L, ...] with a static ``layer`` index (the
+    layer selection is folded into the BlockSpec index map so the
+    kernel reads the persistent buffer with zero copies);
     seq_lens: [B]. Returns [B, Hq, D] f32.
     """
     if interpret is None:
         interpret = use_interpret()
     B, Hq, D = q.shape
-    _, Hkv, P, _, page, _ = kv_pages.shape
+    shp = kv_pages.shape if layer is None else kv_pages.shape[1:]
+    _, Hkv, P, _, page, _ = shp
     G = Hq // Hkv
 
     bp = max(1, min(block_t // page, P))
     if P % bp != 0:
-        pad = round_up(P, bp) - P
-        kv_pages = jnp.pad(kv_pages,
-                           ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
-        P += pad
+        if layer is not None:
+            # Whole-pool mode cannot pad; use the largest divisor of P.
+            while P % bp:
+                bp -= 1
+        else:
+            pad = round_up(P, bp) - P
+            kv_pages = jnp.pad(
+                kv_pages,
+                ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+            P += pad
     nb = P // bp
 
     Gp = round_up(G, 16)
@@ -107,14 +118,20 @@ def dense_decode_attention(q, kv_pages, seq_lens, *, sm_scale: float,
         # Clamp at the last valid block: runs of identical indices make
         # the pipeline skip redundant DMAs for the invalid tail.
         last = jnp.maximum(pl.cdiv(seq_ref[b], bp * page) - 1, 0)
-        return (b, h, jnp.minimum(j, last), 0, 0, 0)
+        jj = jnp.minimum(j, last)
+        if layer is None:
+            return (b, h, jj, 0, 0, 0)
+        return (layer, b, h, jj, 0, 0, 0)
+
+    kv_block = ((1, 1, bp, 2, page, D) if layer is None
+                else (1, 1, 1, bp, 2, page, D))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv, nb),
         in_specs=[
             pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, bp, 2, page, D), kv_index),
+            pl.BlockSpec(kv_block, kv_index),
         ],
         out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, *_: (b, h, 0, 0)),
         scratch_shapes=[

@@ -54,7 +54,7 @@ def _kernel(block_q: int, bpk: int, page: int, meta_ref, q_ref, kv_ref,
     @pl.when(j < hi)
     def _():
         q = q_ref[0, 0]          # [block_q, D]
-        kv = kv_ref[0, 0]        # [bpk, 2, page, D]
+        kv = kv_ref[...].reshape(bpk, 2, page, q.shape[-1])
         k = kv[:, 0].reshape(block_k, -1)
         v = kv[:, 1].reshape(block_k, -1)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -87,21 +87,26 @@ def _kernel(block_q: int, bpk: int, page: int, meta_ref, q_ref, kv_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_q",
-                                             "block_k", "interpret"))
+                                             "block_k", "interpret",
+                                             "layer"))
 def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
                       sm_scale: float, block_q: int = 256,
-                      block_k: int = 512, interpret: bool | None = None):
+                      block_k: int = 512, interpret: bool | None = None,
+                      layer: int | None = None):
     """Causal attention of T fresh queries over the paged cache.
 
     q: [B, T, Hq, D] (rope already applied); kv_pages:
-    [B, Hkv, P, 2, page, D] packed pool (new tokens already appended);
-    q_offsets: [B] tokens cached before this chunk;
+    [B, Hkv, P, 2, page, D] packed pool (new tokens already appended) —
+    or the whole-model pool [L, ...] with static ``layer`` (selection
+    folded into the index map; zero-copy read of the persistent
+    buffer); q_offsets: [B] tokens cached before this chunk;
     kv_lens: [B] = q_offsets + real new length. Returns [B, T, Hq, D] f32.
     """
     if interpret is None:
         interpret = use_interpret()
     B, T, Hq, D = q.shape
-    _, Hkv, P, _, page, _ = kv_pages.shape
+    shp = kv_pages.shape if layer is None else kv_pages.shape[1:]
+    _, Hkv, P, _, page, _ = shp
     G = Hq // Hkv
 
     block_q = min(block_q, round_up(T, 16))
@@ -113,10 +118,16 @@ def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
     qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
     qt = qt.astype(kv_pages.dtype)          # [B, Hq, Tp, D]
     if P % bpk != 0:
-        pad = round_up(P, bpk) - P
-        kv_pages = jnp.pad(kv_pages,
-                           ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
-        P += pad
+        if layer is not None:
+            while P % bpk:      # whole-pool mode cannot pad
+                bpk -= 1
+            block_k = bpk * page
+        else:
+            pad = round_up(P, bpk) - P
+            kv_pages = jnp.pad(
+                kv_pages,
+                ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+            P += pad
     nb_q = Tp // block_q
     nb_k = P // bpk
 
@@ -129,8 +140,13 @@ def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
         max_q_pos = offset + (i + 1) * block_q - 1
         hi = jnp.minimum(pl.cdiv(max_q_pos + 1, block_k),
                          pl.cdiv(kv_len, block_k))
-        return (b, h * Hkv // Hq, jnp.minimum(j, jnp.maximum(hi - 1, 0)),
-                0, 0, 0)
+        jj = jnp.minimum(j, jnp.maximum(hi - 1, 0))
+        if layer is None:
+            return (b, h * Hkv // Hq, jj, 0, 0, 0)
+        return (layer, b, h * Hkv // Hq, jj, 0, 0, 0)
+
+    kv_block = ((1, 1, bpk, 2, page, D) if layer is None
+                else (1, 1, 1, bpk, 2, page, D))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -138,7 +154,7 @@ def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D),
                          lambda b, h, i, j, *_: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bpk, 2, page, D), kv_index),
+            pl.BlockSpec(kv_block, kv_index),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, D),
                                lambda b, h, i, j, *_: (b, h, i, 0)),

@@ -44,13 +44,16 @@ from jax.experimental.pallas import tpu as pltpu
 from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
-def _kernel(ppb: int, page: int, meta_ref, idx_ref,
+def _kernel(ppb: int, page: int, layer: int | None, meta_ref, idx_ref,
             q_ref, kv_hbm, o_ref,
             kv_buf, sems, m_scr, l_scr, acc_scr):
     b = pl.program_id(0)
     h = pl.program_id(1)
     j = pl.program_id(2)
     nb = pl.num_programs(2)
+    # With a static layer index the kernel reads the whole-model cache
+    # buffer directly — no per-layer slice materialization outside.
+    kv_hbm = kv_hbm if layer is None else kv_hbm.at[layer]
     num_valid = meta_ref[b, 0]
     last_page = meta_ref[b, 1]
     last_len = meta_ref[b, 2]
@@ -131,16 +134,19 @@ def _kernel(ppb: int, page: int, meta_ref, idx_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "pages_per_block",
-                                             "interpret"))
+                                             "interpret", "layer"))
 def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             seq_lens, *, sm_scale: float,
                             pages_per_block: int = 64,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            layer: int | None = None):
     """Decode attention over selected pages.
 
     Args:
       q: [B, Hq, D] query for the current token (un-scaled).
-      kv_pages: [B, Hkv, P, 2, page, D] packed paged cache (0=K, 1=V).
+      kv_pages: [B, Hkv, P, 2, page, D] packed paged cache (0=K, 1=V) —
+        or the whole-model pool [L, B, Hkv, P, 2, page, D] with a static
+        ``layer`` index (zero-copy read of the persistent buffer).
       indices: [B, Hkv, S] int32 selected page ids (slots >= num_valid junk).
       num_valid: [B] int32 count of real slots.
       seq_lens: [B] int32 sequence lengths incl. the current token.
@@ -151,7 +157,8 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
     if interpret is None:
         interpret = use_interpret()
     B, Hq, D = q.shape
-    _, Hkv, P, _, page, _ = kv_pages.shape
+    shp = kv_pages.shape if layer is None else kv_pages.shape[1:]
+    _, Hkv, P, _, page, _ = shp
     S = indices.shape[-1]
     G = Hq // Hkv
 
@@ -192,7 +199,7 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, ppb, page),
+        functools.partial(_kernel, ppb, page, layer),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(

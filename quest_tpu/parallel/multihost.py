@@ -74,8 +74,11 @@ def global_batch(mesh: Mesh, host_tokens: np.ndarray) -> jax.Array:
 
 def host_local_logits(logits: jax.Array) -> np.ndarray:
     """Gather the rows of the dp-sharded logits this host owns, in
-    batch order."""
-    shards = [(s.index[0].start or 0, np.asarray(s.data))
-              for s in logits.addressable_shards]
-    shards.sort(key=lambda t: t[0])
-    return np.concatenate([d for _, d in shards], axis=0)
+    batch order (each dp row appears once even though it is replicated
+    across the tp axis)."""
+    rows = {}
+    for s in logits.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in rows:
+            rows[start] = np.asarray(s.data)
+    return np.concatenate([rows[k] for k in sorted(rows)], axis=0)

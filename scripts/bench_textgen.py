@@ -51,10 +51,15 @@ def main():
     ap.add_argument("--quantize", type=int, default=0, choices=[0, 4, 8],
                     help="weight-only quantization bits (the reference's "
                          "2.23x e2e row uses 4-bit AWQ weights)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke runs)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from quest_tpu.config import (QuestConfig, llama31_8b,
                                   longchat_7b_v15_32k, mistral_7b_v03,
@@ -70,8 +75,10 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     ctx = args.ctx if on_tpu else min(args.ctx, 1024)
     budget = ctx if args.budget == "full" else int(args.budget)
+    # Room for ctx + warm-up and timed decode runs (2N tokens).
     quest = QuestConfig(page_size=args.page, token_budget=budget,
-                        max_seq_len=ctx + args.decode_tokens + args.page,
+                        max_seq_len=(ctx + 2 * args.decode_tokens
+                                     + 2 + args.page),
                         skip_layers=args.skip_layers)
     log(f"model={args.model} L={cfg.num_layers} Hq={cfg.num_heads} "
         f"Hkv={cfg.num_kv_heads} ctx={ctx} budget={budget} "
@@ -95,14 +102,18 @@ def main():
     logits = engine.prefill([p.tolist() for p in prompt])
     t_prefill = time.perf_counter() - t0
 
-    # Decode: warm-up step compiles, then timed loop.
-    next_tok = np.argmax(logits, axis=-1).astype(np.int32)
-    engine.decode(next_tok)
+    # Decode: pipeline of async donated dispatches (no per-step host
+    # sync; a per-token fetch costs ~ms through remote dispatch). One
+    # warm-up step compiles; fetch at the end forces real completion.
+    tok = jnp.asarray(np.argmax(logits, axis=-1).astype(np.int32))
+    N = args.decode_tokens
+    tok, engine.cache = engine._tok_fn(engine.params, engine.cache, tok)
+    _ = np.asarray(tok)
     t0 = time.perf_counter()
-    for _ in range(args.decode_tokens):
-        logits = engine.decode(next_tok)
-        next_tok = np.argmax(logits, axis=-1).astype(np.int32)
-    t_decode = (time.perf_counter() - t0) / args.decode_tokens
+    for _ in range(N):
+        tok, engine.cache = engine._tok_fn(engine.params, engine.cache, tok)
+    _ = np.asarray(tok)  # host fetch forces real completion
+    t_decode = (time.perf_counter() - t0) / N
     toks_per_s = args.batch / t_decode
 
     log(f"prefill {ctx} tokens: {t_prefill*1e3:.1f} ms "
