@@ -69,10 +69,11 @@ def main():
         dep = jnp.tanh(jnp.sum(y.astype(jnp.float32))) * 1e-3
         return (x + dep.astype(x.dtype)).astype(x.dtype)
 
+    iters, reps = ((8, 72), 5) if on_tpu else ((2, 6), 2)
     t_dense = bench_op(
         lambda q, env: fb(q, dense_decode_attention(q, env, seq,
                                                     sm_scale=sm)),
-        q, env=layer.kv_pages)
+        q, iters=iters, reps=reps, env=layer.kv_pages)
 
     def sparse_step(q, env):
         kv_pages, kmax, kmin = env
@@ -81,7 +82,7 @@ def main():
         return fb(q, sparse_decode_attention(q, kv_pages, idx, num_valid,
                                              seq, sm_scale=sm))
 
-    t_sparse = bench_op(sparse_step, q,
+    t_sparse = bench_op(sparse_step, q, iters=iters, reps=reps,
                         env=(layer.kv_pages, layer.k_max, layer.k_min))
     speedup = t_dense / t_sparse
 

@@ -37,13 +37,14 @@ def test_estimate_matches_double_loop(Hq, Hkv):
         np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-5)
 
 
-def test_topk_forces_last_page_and_matches_reference_set():
+@pytest.mark.parametrize("sort_by_page", [True, False])
+def test_topk_forces_last_page_and_matches_reference_set(sort_by_page):
     rng = np.random.default_rng(1)
     B, H, P, page, K = 2, 3, 16, 8, 5
     scores = rng.standard_normal((B, H, P)).astype(np.float32)
     seq_lens = np.array([12 * page, 3 * page - 2], np.int32)  # 12 and 3 pages
     idx, num_valid = select_pages(jnp.asarray(scores), jnp.asarray(seq_lens),
-                                  page, K)
+                                  page, K, sort_by_page=sort_by_page)
     idx = np.asarray(idx)
     num_valid = np.asarray(num_valid)
 
@@ -53,16 +54,21 @@ def test_topk_forces_last_page_and_matches_reference_set():
         nv = min(K, n_pages)
         assert num_valid[b] == nv
         for h in range(H):
-            sel = set(idx[b, h, :nv].tolist())
-            assert len(sel) == nv, "selected pages must be distinct"
+            sel = idx[b, h, :nv].tolist()
+            assert len(set(sel)) == nv, "selected pages must be distinct"
             assert last in sel, "last page must always be selected"
-            assert idx[b, h, 0] == last, "+inf puts last page in slot 0"
+            if sort_by_page:
+                assert sel == sorted(sel), "slots ascend by page id"
+            else:
+                assert sel[0] == last, "+inf puts last page in slot 0"
             assert all(0 <= p < n_pages for p in sel)
+            assert (idx[b, h] >= 0).all() and (idx[b, h] < P).all(), \
+                "junk slots must stay in-bounds"
             # Reference semantics: {last} ∪ top-(K-1) of the other pages.
             others = [p for p in range(n_pages) if p != last]
             want = set(np.array(others)[
                 np.argsort(scores[b, h, others])[::-1][:nv - 1]].tolist())
-            assert sel == want | {last}
+            assert set(sel) == want | {last}
 
 
 def test_topk_short_sequence_selects_all_pages():
