@@ -148,3 +148,15 @@ def tiny_test_model(num_kv_heads: int = 4) -> ModelConfig:
         rms_norm_eps=1e-5, max_position_embeddings=4096,
         rope=RopeConfig(theta=10000.0),
     )
+
+
+def small_tpu_model() -> ModelConfig:
+    """Small config with TPU-tileable dims (head_dim 128) — smoke runs
+    of the full stack on a real chip (the `tiny` preset's head_dim=32
+    fails Mosaic's 128-lane tiling)."""
+    return ModelConfig(
+        vocab_size=2048, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=2, num_kv_heads=2, head_dim=128,
+        rms_norm_eps=1e-5, max_position_embeddings=8192,
+        rope=RopeConfig(theta=10000.0),
+    )

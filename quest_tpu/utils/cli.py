@@ -20,7 +20,8 @@ from typing import Optional, Tuple
 
 from quest_tpu.config import (ModelConfig, QuestConfig, llama31_8b,
                               longchat_7b_v15_32k, mistral_7b_v03,
-                              tiny_test_model, yarn_llama2_7b_128k)
+                              small_tpu_model, tiny_test_model,
+                              yarn_llama2_7b_128k)
 
 PRESETS = {
     "llama31-8b": llama31_8b,
@@ -28,6 +29,7 @@ PRESETS = {
     "mistral-7b": mistral_7b_v03,
     "yarn-llama2-7b": yarn_llama2_7b_128k,
     "tiny": tiny_test_model,
+    "small-tpu": small_tpu_model,
 }
 
 
