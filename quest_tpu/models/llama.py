@@ -134,6 +134,10 @@ class QuestModel:
 
         if use_sparse:
             with jax.named_scope("quest_estimate"):
+                # XLA einsum, NOT ops.estimate.page_scores_kernel: the
+                # Pallas variant wins standalone (~51 vs 64 us) but
+                # composed with the sparse-attention custom call it
+                # costs ~+180 us (operand copies between custom calls).
                 scores = page_scores(q, cache.k_max[layer],
                                      cache.k_min[layer],
                                      group_agg=quest.group_agg)

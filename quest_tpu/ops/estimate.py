@@ -25,8 +25,14 @@ per-head selection.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quest_tpu.ops.pallas_utils import round_up, use_interpret
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -72,3 +78,80 @@ def page_scores_per_qhead(q: jnp.ndarray, k_max: jnp.ndarray,
     path, mirroring `/root/reference/evaluation/quest_attention.py`)."""
     B, Hq, _ = q.shape
     return _group_scores(q, k_max, k_min).reshape(B, Hq, -1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas streaming estimate — same math as page_scores, but the min/max
+# arrays stream through VMEM in large page blocks (the XLA einsum
+# measured ~540 GB/s; the memory-bound floor is ~41 us at 32K). Group
+# aggregation happens in-kernel so only [B, Hkv, P] scores leave.
+# ---------------------------------------------------------------------------
+
+def _est_kernel(G: int, agg: str, q_ref, kmax_ref, kmin_ref, o_ref):
+    qc = q_ref[0, 0]                       # [2*Gp, D]: rows 0..Gp relu(q),
+    Gp = qc.shape[0] // 2                  # rows Gp.. min(q, 0)
+    D = qc.shape[1]
+    kmax = kmax_ref[...].reshape(-1, D)    # [bp, D]
+    kmin = kmin_ref[...].reshape(-1, D)
+    s = (jax.lax.dot_general(qc[:Gp], kmax, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(qc[Gp:], kmin, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32))
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    if agg == "max":
+        s = jnp.where(row < G, s, -1e30)
+        o_ref[0, 0, 0] = jnp.max(s, axis=0)
+    else:
+        s = jnp.where(row < G, s, 0.0)
+        o_ref[0, 0, 0] = jnp.sum(s, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("group_agg", "block_p",
+                                             "interpret", "layer"))
+def page_scores_kernel(q, k_max, k_min, group_agg: str = "max",
+                       block_p: int = 1024,
+                       interpret: bool | None = None,
+                       layer: int | None = None):
+    """Pallas-streamed criticality scores; same contract as
+    ``page_scores``. ``k_max/k_min`` may be the whole-model arrays
+    [L, B, Hkv, P, D] with a static ``layer`` (zero-copy read)."""
+    if interpret is None:
+        interpret = use_interpret()
+    B, Hq, D = q.shape
+    shp = k_max.shape if layer is None else k_max.shape[1:]
+    _, Hkv, P, _ = shp
+    G = Hq // Hkv
+    Gp = round_up(G, 16)
+
+    qf = q.astype(jnp.float32).reshape(B, Hkv, G, D)
+    qf = jnp.pad(qf, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    qc = jnp.concatenate([jnp.maximum(qf, 0.0), jnp.minimum(qf, 0.0)],
+                         axis=2).astype(k_max.dtype)   # [B, Hkv, 2Gp, D]
+
+    bp = max(1, min(block_p, P))
+    while P % bp:
+        bp -= 1
+    nb = P // bp
+
+    def kv_index(b, h, j):
+        if layer is None:
+            return (b, h, j, 0)
+        return (layer, b, h, j, 0)
+
+    kv_block = (1, 1, bp, D) if layer is None else (1, 1, 1, bp, D)
+
+    out = pl.pallas_call(
+        functools.partial(_est_kernel, G, group_agg),
+        grid=(B, Hkv, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2 * Gp, D), lambda b, h, j: (b, h, 0, 0)),
+            pl.BlockSpec(kv_block, kv_index),
+            pl.BlockSpec(kv_block, kv_index),
+        ],
+        # Unit axis before P: Mosaic wants the output block's trailing
+        # two dims tileable — (1, bp) with the 1 equal to the array dim.
+        out_specs=pl.BlockSpec((1, 1, 1, bp), lambda b, h, j: (b, h, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, 1, P), jnp.float32),
+        interpret=interpret,
+    )(qc, k_max, k_min)
+    return out[:, :, 0]

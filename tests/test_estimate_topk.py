@@ -81,3 +81,25 @@ def test_topk_short_sequence_selects_all_pages():
     assert int(num_valid[0]) == 4
     for h in range(H):
         assert set(np.asarray(idx)[0, h, :4].tolist()) == {0, 1, 2, 3}
+
+
+def test_pallas_estimate_kernel_matches_einsum():
+    from quest_tpu.ops.estimate import page_scores_kernel
+    rng = np.random.default_rng(4)
+    B, Hq, Hkv, P, D = 2, 8, 2, 24, 128
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    kmax = jnp.asarray(rng.standard_normal((B, Hkv, P, D)).astype(np.float32))
+    kmin = kmax - jnp.asarray(
+        np.abs(rng.standard_normal((B, Hkv, P, D))).astype(np.float32))
+    for agg in ("max", "sum"):
+        want = page_scores(q, kmax, kmin, group_agg=agg)
+        got = page_scores_kernel(q, kmax, kmin, group_agg=agg, block_p=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+    # whole-pool mode with a static layer index
+    kmaxL = jnp.stack([kmax, kmax * 0.5], axis=0)
+    kminL = jnp.stack([kmin, kmin * 0.5], axis=0)
+    got = page_scores_kernel(q, kmaxL, kminL, layer=1, block_p=8)
+    want = page_scores(q, kmax * 0.5, kmin * 0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
