@@ -99,10 +99,11 @@ def init_cache(model: ModelConfig, quest: QuestConfig, batch_size: int = 1,
     B, H, D = batch_size, model.num_kv_heads, model.head_dim
     P, page = quest.max_pages, quest.page_size
     dt = quest.kv_dtype
+    mdt = quest.resolved_meta_dtype
     return PagedKVCache(
         kv_pages=jnp.zeros((L, B, H, P, 2, page, D), dtype=dt),
-        k_max=jnp.zeros((L, B, H, P, D), dtype=dt),
-        k_min=jnp.zeros((L, B, H, P, D), dtype=dt),
+        k_max=jnp.zeros((L, B, H, P, D), dtype=mdt),
+        k_min=jnp.zeros((L, B, H, P, D), dtype=mdt),
         seq_lens=jnp.zeros((B,), dtype=jnp.int32),
     )
 
@@ -129,11 +130,14 @@ def append_decode(layer: LayerKV, k_new: jnp.ndarray,
         tok = jnp.stack([k, v], axis=1)[:, None, :, None, :]  # [H,1,2,1,D]
         kv = jax.lax.dynamic_update_slice(kv, tok.astype(kv.dtype),
                                           (0, p_idx, 0, e_idx, 0))
-        old_max = jax.lax.dynamic_slice(kmax, (0, p_idx, 0), (H, 1, D))[:, 0]
-        old_min = jax.lax.dynamic_slice(kmin, (0, p_idx, 0), (H, 1, D))[:, 0]
+        old_max = jax.lax.dynamic_slice(kmax, (0, p_idx, 0),
+                                        (H, 1, D))[:, 0].astype(jnp.float32)
+        old_min = jax.lax.dynamic_slice(kmin, (0, p_idx, 0),
+                                        (H, 1, D))[:, 0].astype(jnp.float32)
+        kf = k.astype(jnp.float32)
         first = (e_idx == 0)
-        new_max = jnp.where(first, k, jnp.maximum(old_max, k))
-        new_min = jnp.where(first, k, jnp.minimum(old_min, k))
+        new_max = jnp.where(first, kf, jnp.maximum(old_max, kf))
+        new_min = jnp.where(first, kf, jnp.minimum(old_min, kf))
         kmax = jax.lax.dynamic_update_slice(
             kmax, new_max[:, None].astype(kmax.dtype), (0, p_idx, 0))
         kmin = jax.lax.dynamic_update_slice(
@@ -203,8 +207,10 @@ def append_prefill(layer: LayerKV, k_new: jnp.ndarray, v_new: jnp.ndarray,
         any_valid = jnp.any(valid, axis=2)                    # [1, W, 1]
         old_max = jax.lax.dynamic_slice(kmax, (0, p0, 0), (H, W, D))
         old_min = jax.lax.dynamic_slice(kmin, (0, p0, 0), (H, W, D))
-        wmax = jnp.where(any_valid, wmax.astype(kmax.dtype), old_max)
-        wmin = jnp.where(any_valid, wmin.astype(kmin.dtype), old_min)
+        wmax = jnp.where(any_valid, wmax, old_max.astype(jnp.float32))
+        wmin = jnp.where(any_valid, wmin, old_min.astype(jnp.float32))
+        wmax = wmax.astype(kmax.dtype)
+        wmin = wmin.astype(kmin.dtype)
         kmax = jax.lax.dynamic_update_slice(kmax, wmax, (0, p0, 0))
         kmin = jax.lax.dynamic_update_slice(kmin, wmin, (0, p0, 0))
         return kv, kmax, kmin
@@ -247,12 +253,15 @@ def append_decode_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
             kv, tok[None, None, :, None, :, None, :],
             (layer, b, 0, p_idx, 0, e_idx, 0))
         old_max = jax.lax.dynamic_slice(
-            kmax, (layer, b, 0, p_idx, 0), (1, 1, H, 1, D))[0, 0, :, 0]
+            kmax, (layer, b, 0, p_idx, 0),
+            (1, 1, H, 1, D))[0, 0, :, 0].astype(jnp.float32)
         old_min = jax.lax.dynamic_slice(
-            kmin, (layer, b, 0, p_idx, 0), (1, 1, H, 1, D))[0, 0, :, 0]
+            kmin, (layer, b, 0, p_idx, 0),
+            (1, 1, H, 1, D))[0, 0, :, 0].astype(jnp.float32)
+        kf = kq[b].astype(jnp.float32)
         first = (e_idx == 0)
-        new_max = jnp.where(first, kq[b], jnp.maximum(old_max, kq[b]))
-        new_min = jnp.where(first, kq[b], jnp.minimum(old_min, kq[b]))
+        new_max = jnp.where(first, kf, jnp.maximum(old_max, kf))
+        new_min = jnp.where(first, kf, jnp.minimum(old_min, kf))
         kmax = jax.lax.dynamic_update_slice(
             kmax, new_max[None, None, :, None, :].astype(kmax.dtype),
             (layer, b, 0, p_idx, 0))
@@ -307,8 +316,10 @@ def append_prefill_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
                                         (1, 1, H, W, D))[0, 0]
         old_min = jax.lax.dynamic_slice(kmin, (layer, b, 0, p0, 0),
                                         (1, 1, H, W, D))[0, 0]
-        wmax = jnp.where(any_valid, wmax.astype(kmax.dtype), old_max)
-        wmin = jnp.where(any_valid, wmin.astype(kmin.dtype), old_min)
+        wmax = jnp.where(any_valid, wmax, old_max.astype(jnp.float32))
+        wmin = jnp.where(any_valid, wmin, old_min.astype(jnp.float32))
+        wmax = wmax.astype(kmax.dtype)
+        wmin = wmin.astype(kmin.dtype)
         kmax = jax.lax.dynamic_update_slice(kmax, wmax[None, None],
                                             (layer, b, 0, p0, 0))
         kmin = jax.lax.dynamic_update_slice(kmin, wmin[None, None],

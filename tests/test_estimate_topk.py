@@ -103,3 +103,51 @@ def test_pallas_estimate_kernel_matches_einsum():
     want = page_scores(q, kmax * 0.5, kmin * 0.5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_fp8_metadata_selection_overlap():
+    """meta_dtype=float8_e4m3fn: criticality is a ranking heuristic, so
+    fp8 metadata must produce near-identical selections (and the engine
+    must run end-to-end with it)."""
+    import jax
+    from quest_tpu.config import ModelConfig, QuestConfig, RopeConfig
+    from quest_tpu.engine import QuestEngine
+    from quest_tpu.kv.paged_kv import LayerKV, append_prefill, init_cache
+    from quest_tpu.models.llama import init_params
+
+    rng = np.random.default_rng(6)
+    B, H, D, page, T = 1, 4, 128, 8, 256
+    model = ModelConfig(num_heads=H, num_kv_heads=H, head_dim=D)
+    base = QuestConfig(page_size=page, token_budget=64, max_seq_len=512,
+                       kv_dtype=jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, H, D)).astype(np.float32))
+    seq = jnp.asarray([T], jnp.int32)
+
+    sels = {}
+    for name, mdt in (("f32", None), ("fp8", jnp.float8_e4m3fn)):
+        quest = QuestConfig(page_size=page, token_budget=64,
+                            max_seq_len=512, kv_dtype=jnp.float32,
+                            meta_dtype=mdt)
+        layer = init_cache(model, quest, batch_size=B, num_layers=1).layer(0)
+        layer = append_prefill(layer, k_new, k_new)
+        scores = page_scores(q, layer.k_max, layer.k_min)
+        idx, nv = select_pages(scores, seq, page, 8)
+        sels[name] = np.asarray(idx)[0, :, :int(nv[0])]
+    overlap = np.mean([
+        len(set(sels["f32"][h]) & set(sels["fp8"][h])) / len(sels["f32"][h])
+        for h in range(H)])
+    assert overlap >= 0.75, overlap   # random data is the worst case
+
+    # engine end-to-end with fp8 metadata
+    cfg = ModelConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=4,
+                      head_dim=16, rope=RopeConfig(), dtype=jnp.float32)
+    quest = QuestConfig(page_size=8, token_budget=32, max_seq_len=128,
+                        skip_layers=1, kv_dtype=jnp.float32,
+                        meta_dtype=jnp.float8_e4m3fn)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    eng = QuestEngine(cfg, quest, params, prefill_bucket=16)
+    out = eng.generate([rng.integers(1, 256, size=20).tolist()],
+                       max_new_tokens=4)
+    assert len(out[0]) == 4
