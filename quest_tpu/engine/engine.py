@@ -27,10 +27,7 @@ import numpy as np
 from quest_tpu.config import ModelConfig, QuestConfig
 from quest_tpu.kv.paged_kv import PagedKVCache, init_cache
 from quest_tpu.models.llama import Params, QuestModel
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from quest_tpu.ops.pallas_utils import round_up as _round_up
 
 
 class QuestEngine:
@@ -46,6 +43,8 @@ class QuestEngine:
         self.model = QuestModel(cfg, quest)
         self.cache = init_cache(cfg, quest, batch_size)
 
+        # Host mirror of seq_lens: overflow guards without device syncs.
+        self._host_lens = np.zeros((batch_size,), np.int64)
         self._prefill_fn = jax.jit(self.model.prefill_last,
                                    donate_argnums=(1,))
         self._decode_fn = jax.jit(self.model.decode_step, donate_argnums=(1,))
@@ -59,6 +58,7 @@ class QuestEngine:
         self.cache = dataclasses.replace(
             self.cache,
             seq_lens=jnp.zeros((self.batch_size,), jnp.int32))
+        self._host_lens[:] = 0
 
     @property
     def seq_lens(self) -> np.ndarray:
@@ -73,21 +73,34 @@ class QuestEngine:
         assert len(prompts) == B
         lens = np.array([len(p) for p in prompts], np.int32)
         T = _round_up(int(lens.max()), self.prefill_bucket)
-        if (int(self.seq_lens.max()) + T) > self.quest.max_seq_len:
-            raise ValueError("prompt exceeds max_seq_len")
+        if int(self._host_lens.max()) + T > self.quest.max_seq_len:
+            raise ValueError(
+                f"prompt chunk of {T} (bucketed) tokens exceeds "
+                f"max_seq_len={self.quest.max_seq_len} at current fill "
+                f"{self._host_lens.max()}")
         toks = np.zeros((B, T), np.int32)
         for b, p in enumerate(prompts):
             toks[b, :len(p)] = np.asarray(p, np.int32)
         logits, self.cache = self._prefill_fn(
             self.params, self.cache, jnp.asarray(toks), jnp.asarray(lens))
+        self._host_lens += lens
         # logits already taken at the last real token of each chunk
         return np.asarray(logits)[:, 0]
 
+    def _check_decode_room(self, n: int = 1) -> None:
+        if int(self._host_lens.max()) + n > self.quest.max_seq_len:
+            raise ValueError(
+                f"decode past max_seq_len={self.quest.max_seq_len}: the "
+                "append would clamp into the last page and corrupt it; "
+                "raise QuestConfig.max_seq_len or clear() the engine")
+
     def decode(self, tokens: Sequence[int]) -> np.ndarray:
         """One decode step for the batch; returns logits [B, V]."""
+        self._check_decode_room()
         logits, self.cache = self._decode_fn(
             self.params, self.cache,
             jnp.asarray(np.asarray(tokens, np.int32)))
+        self._host_lens += 1
         return np.asarray(logits)
 
     # -- generation -------------------------------------------------------
@@ -124,11 +137,13 @@ class QuestEngine:
         path; a per-token fetch costs ~ms through remote dispatch).
         Tokens are fetched once at the end; EOS is trimmed host-side."""
         logits = self.prefill(prompts)
+        self._check_decode_room(max_new_tokens - 1)
         tok = jnp.asarray(np.argmax(logits, axis=-1).astype(np.int32))
         toks = [tok]
         for _ in range(max_new_tokens - 1):
             tok, self.cache = self._tok_fn(self.params, self.cache, tok)
             toks.append(tok)
+        self._host_lens += max_new_tokens - 1
         out = np.stack([np.asarray(t) for t in toks], axis=1)  # [B, N]
         res: List[List[int]] = []
         for row in out:

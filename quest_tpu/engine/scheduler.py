@@ -36,10 +36,7 @@ import numpy as np
 from quest_tpu.config import ModelConfig, QuestConfig
 from quest_tpu.kv.paged_kv import init_cache
 from quest_tpu.models.llama import Params, QuestModel
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from quest_tpu.ops.pallas_utils import round_up as _round_up
 
 
 @dataclasses.dataclass
@@ -102,13 +99,32 @@ class ContinuousBatchingEngine:
 
     # ------------------------------------------------------------------
     def _admit(self) -> List[StepEvent]:
-        """Move queued requests into free slots via one prefill tick."""
+        """Move queued requests into free slots via one prefill tick.
+
+        Admission is deferred while any BUSY slot lacks ``T`` tokens of
+        pool headroom: the whole-batch prefill writes ``T`` scratch
+        tokens beyond every busy slot's ``seq_len``, and past the pool
+        end the clamped window write would corrupt its valid tokens.
+        Busy slots always finish (max_new_tokens is bounded), so
+        deferral cannot deadlock.
+        """
         free = [b for b, s in enumerate(self.slots) if s is None]
         if not free or not self.queue:
             return []
+        pool_tokens = self.quest.max_pages * self.quest.page_size
+        busy_max = max((int(np.asarray(self.cache.seq_lens)[b])
+                        for b, s in enumerate(self.slots) if s is not None),
+                      default=0)
+        headroom = pool_tokens - busy_max
         admits: List[tuple] = []
         while free and self.queue:
+            T_next = _round_up(len(self.queue[0].prompt),
+                               self.prefill_bucket)
+            if T_next > headroom:
+                break
             admits.append((free.pop(0), self.queue.popleft()))
+        if not admits:
+            return []
 
         B = self.max_batch
         max_len = max(len(r.prompt) for _, r in admits)

@@ -83,6 +83,16 @@ def retrieval_score(prediction: str, ground_truth: str, **kw) -> float:
     return float(gold in found)
 
 
+def count_score(prediction: str, ground_truth: str, **kw) -> float:
+    """Reference `eval.py` count_score: fraction of the numbers in the
+    prediction equal to the gold count."""
+    numbers = re.findall(r"\d+", prediction)
+    if not numbers:
+        return 0.0
+    right = sum(1 for n in numbers if str(n) == str(ground_truth))
+    return right / len(numbers)
+
+
 def code_sim_score(prediction: str, ground_truth: str, **kw) -> float:
     all_lines = prediction.lstrip("\n").split("\n")
     pred = ""
@@ -109,7 +119,7 @@ TASK_METRICS = {
     "samsum": rouge_l_score,
     "trec": classification_score,
     "passage_retrieval_en": retrieval_score,
-    "passage_count": retrieval_score,
+    "passage_count": count_score,
     "lcc": code_sim_score,
     "repobench-p": code_sim_score,
 }

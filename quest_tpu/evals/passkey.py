@@ -76,8 +76,10 @@ def evaluate_passkey(engine: QuestEngine, tokenizer, n_garbage: int = 60000,
             it += 1
             engine.clear()
             ctx_ids = tokenizer.encode(context)
-            q_ids = tokenizer.encode(question, add_special_tokens=False) \
-                if hasattr(tokenizer, "encode") else tokenizer.encode(question)
+            try:
+                q_ids = tokenizer.encode(question, add_special_tokens=False)
+            except TypeError:  # tokenizer without the kwarg
+                q_ids = tokenizer.encode(question)
             engine.prefill([ctx_ids])
             # Question fed token-by-token as decode (reference :68-97).
             for tid in q_ids[:-1]:

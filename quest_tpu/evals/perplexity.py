@@ -43,8 +43,6 @@ def evaluate_perplexity(engine: QuestEngine, token_ids: List[int],
             print(-logp, file=logf, flush=False)
         if t < len(ids) - 1:
             logits = engine.decode([target])
-        else:
-            engine.decode([target])
 
     if logf:
         logf.close()

@@ -233,11 +233,18 @@ def append_prefill(layer: LayerKV, k_new: jnp.ndarray, v_new: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def append_decode_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
-                     v_new: jnp.ndarray) -> PagedKVCache:
+                     v_new: jnp.ndarray,
+                     active: jnp.ndarray | None = None) -> PagedKVCache:
     """Write one token per sequence into layer ``layer`` (static).
 
     ``k_new, v_new``: [B, Hkv, D]; written at ``seq_lens[b]``. Returns a
     cache whose arrays alias-update in place under donation.
+
+    ``active`` [B] bool: slots with ``active=False`` keep their
+    *metadata* untouched — their data write lands in the garbage region
+    beyond ``seq_len`` (harmless, overwritten later), but a metadata
+    max/min fold of a garbage key would persist and inflate the page's
+    criticality bound forever.
     """
     kv, kmax, kmin = cache.kv_pages, cache.k_max, cache.k_min
     page = kv.shape[-2]
@@ -262,6 +269,9 @@ def append_decode_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
         first = (e_idx == 0)
         new_max = jnp.where(first, kf, jnp.maximum(old_max, kf))
         new_min = jnp.where(first, kf, jnp.minimum(old_min, kf))
+        if active is not None:
+            new_max = jnp.where(active[b], new_max, old_max)
+            new_min = jnp.where(active[b], new_min, old_min)
         kmax = jax.lax.dynamic_update_slice(
             kmax, new_max[None, None, :, None, :].astype(kmax.dtype),
             (layer, b, 0, p_idx, 0))

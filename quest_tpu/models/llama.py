@@ -43,7 +43,7 @@ from quest_tpu.ops.dense_decode import dense_decode_attention
 from quest_tpu.ops.estimate import page_scores
 from quest_tpu.ops.prefill import prefill_attention
 from quest_tpu.ops.rms_norm import rms_norm
-from quest_tpu.ops.rope import compute_rope_params
+from quest_tpu.ops.rope import apply_rope, compute_rope_params
 from quest_tpu.ops.sparse_decode import sparse_decode_attention
 from quest_tpu.ops.topk import select_pages
 
@@ -109,17 +109,7 @@ class QuestModel:
     def _apply_rope(self, x, positions):
         """x: [B, T, H, D]; positions: [B, T]."""
         inv_freq, pos_scale, attn_scale = self._rope()
-        dtype = x.dtype
-        xf = x.astype(jnp.float32)
-        pos = positions.astype(jnp.float32) / pos_scale
-        ang = pos[..., None] * inv_freq
-        cos = (jnp.cos(ang) * attn_scale)[..., None, :]
-        sin = (jnp.sin(ang) * attn_scale)[..., None, :]
-        d2 = xf.shape[-1] // 2
-        x1, x2 = xf[..., :d2], xf[..., d2:]
-        out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
-                              axis=-1)
-        return out.astype(dtype)
+        return apply_rope(x, positions, inv_freq, pos_scale, attn_scale)
 
     # ------------------------------------------------------------------
     def _attn_decode(self, q, cache: PagedKVCache, layer: int,
@@ -188,7 +178,11 @@ class QuestModel:
                                          sm_scale=sm, layer=layer)
         else:
             with jax.named_scope("append_kv_decode"):
-                cache = append_decode_at(cache, layer, k[:, 0], v[:, 0])
+                # Inactive slots (new_lens==0) must not fold their
+                # garbage key into the page metadata (the data write
+                # itself lands in the garbage region and is harmless).
+                cache = append_decode_at(cache, layer, k[:, 0], v[:, 0],
+                                         active=new_lens > 0)
             seq_new = cache.seq_lens + 1
             attn = self._attn_decode(q[:, 0], cache, layer, use_sparse,
                                      seq_new)[:, None]

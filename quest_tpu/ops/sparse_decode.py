@@ -82,6 +82,12 @@ def _kernel(ppb: int, page: int, layer: int | None, meta_ref, idx_ref,
         m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # Guard on num_valid > 0: issuing copies that are never waited on
+    # (nv_blocks == 0) would leak semaphore signals into the next grid
+    # step's bulk wait. Output is undefined for empty sequences.
+    @pl.when(jnp.logical_and(j == 0, num_valid > 0))
+    def _():
         start_copies(0, 0)
 
     @pl.when(jnp.logical_and(j + 1 < nb, j + 1 < nv_blocks))

@@ -31,19 +31,41 @@ def initialize_cluster(coordinator_address: Optional[str] = None,
 
     On Cloud TPU the arguments are discovered from the metadata server /
     TPU runtime; pass them explicitly only for manual (e.g. CPU-pod)
-    bring-up. Idempotent: safe to call when already initialized or when
-    running single-process (no-op).
+    bring-up. MUST be the first JAX call of the process — anything that
+    touches devices (including ``jax.process_count()``) initializes the
+    XLA backend and makes cluster formation impossible. Idempotent for
+    repeat calls; a plain single-process run (no cluster info to
+    discover) is a no-op.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    from jax._src import distributed as _distributed
+
+    if _distributed.global_state.client is not None:
+        return  # already initialized — idempotent
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
-    except (ValueError, RuntimeError):
-        # Single-process run (tests, one-chip dev) — nothing to do.
+    except ValueError:
+        # No coordinator/cluster environment to auto-detect:
+        # single-process run (tests, one-chip dev) — nothing to do.
         pass
+    except RuntimeError as e:
+        if "backend" not in str(e).lower():
+            raise
+        # Backends already initialized. With explicit cluster arguments
+        # this is a caller ordering bug — silently degrading to N
+        # independent single-host jobs would be far worse; without
+        # them, assume a single-process dev/test flow and warn.
+        if coordinator_address is not None or (num_processes or 1) > 1:
+            raise RuntimeError(
+                "initialize_cluster() must be called before any other "
+                "JAX operation (the XLA backend is already initialized)"
+            ) from e
+        import warnings
+        warnings.warn(
+            "initialize_cluster() called after the XLA backend was "
+            "initialized; if this is a multi-host run, call it first")
 
 
 def make_global_mesh(dp: Optional[int] = None,

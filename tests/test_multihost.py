@@ -11,8 +11,16 @@ from quest_tpu.parallel import (DP_AXIS, global_batch, host_local_logits,
 
 
 def test_initialize_cluster_single_process_noop():
-    initialize_cluster()          # must not raise on single-process runs
+    import pytest
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        initialize_cluster()      # must not raise on single-process runs
     assert jax.process_count() == 1
+    # Explicit cluster args after backend init = caller ordering bug.
+    with pytest.raises(RuntimeError, match="before any other"):
+        initialize_cluster(coordinator_address="127.0.0.1:1234",
+                           num_processes=2, process_id=0)
 
 
 def test_make_global_mesh_defaults():
