@@ -8,28 +8,35 @@ decode attention over them. The reference needs a host-side planner
 is statically scheduled and partial-softmax state lives in VMEM scratch
 that persists across sequential grid steps, so no planner exists.
 
-Design (TPU-first). Scalar-core DMA descriptor issue is the measured
-bottleneck of this gather (~20 ns/descriptor ≈ the whole kernel's
-runtime at page-16 granularity), so the kernel is built around
-minimizing descriptor count and bookkeeping:
+Design (TPU-first). The gather is HBM random-access *latency/issue*
+bound — scalar-core DMA descriptor issue is ~20 ns/descriptor and the
+4096 page fetches of the 32-head/128-page headline config dominate the
+kernel — so everything is built around keeping the DMA pipeline full
+and the scalar core unburdened:
   * Page indices arrive via **scalar prefetch**
     (`PrefetchScalarGridSpec`) so addresses are known before compute.
   * The packed pool layout (kv/paged_kv.py) keeps each page's K and V
     adjacent as one ``[2, page, D]`` 8 KB block — ONE descriptor per
     page fetches both (the reference streams K and V separately via
     cp.async, `decode_attn.cuh:245-401`).
-  * ``ppb`` pages per grid step land in a double-buffered VMEM scratch;
-    all copies of a block signal one shared semaphore and completion is
-    a single whole-buffer wait (DMA semaphores count bytes). The gather
-    is HBM-random-access *latency* bound, so depth matters: measured on
-    v5e at 32K/2048 (MHA), ppb 16/32/64 -> 124/119/99 us (up to 128
-    outstanding 8 KB reads at ppb=64).
+  * ``ppb`` pages per block land in a double-buffered VMEM scratch; all
+    copies of a block signal one shared semaphore and completion is a
+    single whole-buffer wait (DMA semaphores count bytes).
+  * The grid is **flattened over (batch, head, block)** and the
+    prefetch of block t+1 crosses head (and batch) boundaries, so the
+    DMA pipeline never drains between heads — a per-head grid axis
+    would cold-start the gather Hkv times per call.
+  * Column validity collapses to two vector compares: junk slots are
+    by contract a suffix (``col >= num_valid*page``), and the one
+    partially-filled page's slot position is found OUTSIDE the kernel
+    and passed via scalar prefetch — no ppb-iteration scalar
+    bookkeeping loop inside the kernel.
   * Selection is per KV head (``indices [B, Hkv, S]``); the G query
     heads of a GQA group attend to the same gathered pages, giving an
-    ``[G, page·ppb]`` MXU matmul per step and G-fold bandwidth reuse.
+    ``[G, page·ppb]`` MXU matmul per block and G-fold bandwidth reuse.
     For MHA (G=1) this is exactly the reference's per-head selection.
-  * The last page is *part of the selection* (slot 0, see ops/topk.py),
-    not force-appended; its partial fill is masked by ``last_len``.
+  * The last page is *part of the selection* (see ops/topk.py), not
+    force-appended; its partial fill is masked by ``last_len``.
 """
 
 from __future__ import annotations
@@ -44,28 +51,26 @@ from jax.experimental.pallas import tpu as pltpu
 from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
-def _kernel(ppb: int, page: int, layer: int | None, meta_ref, idx_ref,
-            q_ref, kv_hbm, o_ref,
+def _kernel(ppb: int, page: int, layer: int | None, nb: int,
+            meta_ref, idx_ref, lastslot_ref, q_ref, kv_hbm, o_ref,
             kv_buf, sems, m_scr, l_scr, acc_scr):
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    j = pl.program_id(2)
-    nb = pl.num_programs(2)
+    t = pl.program_id(1)          # flattened (head, block) step
+    B = pl.num_programs(0)
+    T = pl.num_programs(1)        # = Hkv * nb
+    h = t // nb
+    j = t % nb
     # With a static layer index the kernel reads the whole-model cache
     # buffer directly — no per-layer slice materialization outside.
     kv_hbm = kv_hbm if layer is None else kv_hbm.at[layer]
-    num_valid = meta_ref[b, 0]
-    last_page = meta_ref[b, 1]
-    last_len = meta_ref[b, 2]
-    nv_blocks = pl.cdiv(num_valid, ppb)
 
-    def start_copies(blk, slot):
+    def start_copies(bb, hh, blk, slot):
         # One descriptor per page ([2, page, D] = K and V together);
         # all signal the same per-slot semaphore.
         for i in range(ppb):
-            pid = idx_ref[b, h, blk * ppb + i]
+            pid = idx_ref[bb, hh, blk * ppb + i]
             pltpu.make_async_copy(
-                kv_hbm.at[b, h, pid],
+                kv_hbm.at[bb, hh, pid],
                 kv_buf.at[slot, i],
                 sems.at[slot],
             ).start()
@@ -77,26 +82,43 @@ def _kernel(ppb: int, page: int, layer: int | None, meta_ref, idx_ref,
         pltpu.make_async_copy(kv_buf.at[slot], kv_buf.at[slot],
                               sems.at[slot]).wait()
 
+    num_valid = meta_ref[b, 0]
+    nv_blocks = pl.cdiv(num_valid, ppb)
+    flat = b * T + t
+
+    # Self-start: the very first valid block of each batch row issues
+    # its own copies (guard num_valid > 0: issuing copies that are
+    # never waited on would leak semaphore signals into a later wait).
+    @pl.when(jnp.logical_and(t == 0, nv_blocks > 0))
+    def _():
+        start_copies(b, h, 0, flat % 2)
+
+    # Cross-boundary prefetch: issue the NEXT grid step's block (which
+    # may belong to the next head or the next batch row) while this
+    # block's data streams in / computes.
+    nxt = flat + 1
+    b2 = nxt // T
+    t2 = nxt % T
+
+    @pl.when(b2 < B)
+    def _():
+        h2 = t2 // nb
+        j2 = t2 % nb
+        nvb2 = pl.cdiv(meta_ref[b2, 0], ppb)
+
+        @pl.when(j2 < nvb2)
+        def _():
+            start_copies(b2, h2, j2, nxt % 2)
+
     @pl.when(j == 0)
     def _():
         m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # Guard on num_valid > 0: issuing copies that are never waited on
-    # (nv_blocks == 0) would leak semaphore signals into the next grid
-    # step's bulk wait. Output is undefined for empty sequences.
-    @pl.when(jnp.logical_and(j == 0, num_valid > 0))
-    def _():
-        start_copies(0, 0)
-
-    @pl.when(jnp.logical_and(j + 1 < nb, j + 1 < nv_blocks))
-    def _():
-        start_copies(j + 1, (j + 1) % 2)
-
     @pl.when(j < nv_blocks)
     def _():
-        slot = j % 2
+        slot = flat % 2
         wait_copies(slot)
         q = q_ref[0, 0]                          # [Gp, D]
         kv = kv_buf[slot]                        # [ppb, 2, page, D]
@@ -106,27 +128,26 @@ def _kernel(ppb: int, page: int, layer: int | None, meta_ref, idx_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)   # [Gp, ppb*page]
 
-        # Column validity: slot must be < num_valid; within the last page
-        # only the first last_len entries are real.
-        cols = []
-        for i in range(ppb):
-            slot_idx = j * ppb + i
-            pid = idx_ref[b, h, slot_idx]
-            entry = jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
-            ok = jnp.logical_and(
-                slot_idx < num_valid,
-                jnp.logical_or(pid != last_page, entry < last_len))
-            # Mosaic cannot concatenate i1 vectors; carry i32 and compare.
-            cols.append(ok.astype(jnp.int32))
-        mask = jnp.concatenate(cols, axis=1) != 0  # [1, ppb*page]
-
+        # Column validity as two scalar-range compares (see module
+        # docstring): junk slots are a suffix of the slot axis, and the
+        # partially-filled page occupies slot ``lastslot`` (-1 if the
+        # current page is not in this head's selection).
+        last_len = meta_ref[b, 2]
+        ls = lastslot_ref[b, h]
+        base = j * ppb * page
+        ci = jax.lax.broadcasted_iota(jnp.int32, (1, ppb * page), 1)
+        mask = ci < num_valid * page - base
+        lo = ls * page + last_len - base
+        hi = (ls + 1) * page - base
+        mask = jnp.logical_and(
+            mask, jnp.logical_not(jnp.logical_and(ci >= lo, ci < hi)))
         s = jnp.where(mask, s, MASK_VALUE)
         m_prev = m_scr[...]                       # [Gp, 128] replicated
         l_prev = l_scr[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)  # [Gp, 1]
         m_new = jnp.maximum(m_prev, m_cur)         # [Gp, 128]
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(mask, jnp.exp(s - m_new[:, :1]), 0.0)  # [Gp, ppb*page]
+        p = jnp.where(mask, jnp.exp(s - m_new[:, :1]), 0.0)
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_new
         pv = jax.lax.dot_general(
@@ -181,20 +202,34 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
     qg = qg.astype(kv_pages.dtype)
 
-    last_page = (seq_lens - 1) // page
-    last_len = (seq_lens - 1) % page + 1
+    last_page = ((seq_lens - 1) // page).astype(jnp.int32)
+    last_len = ((seq_lens - 1) % page + 1).astype(jnp.int32)
     meta = jnp.stack([num_valid.astype(jnp.int32),
-                      last_page.astype(jnp.int32),
-                      last_len.astype(jnp.int32)], axis=1)  # [B, 3]
+                      last_page,
+                      last_len], axis=1)  # [B, 3]
+
+    # Slot position of the (possibly partially filled) current page in
+    # each head's selection, found by one tiny XLA fusion; -1 if absent
+    # (e.g. test-injected index sets without the current page).
+    indices = indices.astype(jnp.int32)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (B, Hkv, S), 2)
+    is_last = jnp.logical_and(
+        indices == last_page[:, None, None],
+        slot_ids < num_valid.astype(jnp.int32)[:, None, None])
+    lastslot = jnp.where(jnp.any(is_last, axis=-1),
+                         jnp.argmax(is_last, axis=-1).astype(jnp.int32),
+                         -1)                       # [B, Hkv]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, Hkv, nb),
+        num_scalar_prefetch=3,
+        grid=(B, Hkv * nb),
         in_specs=[
-            pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Gp, D),
+                         lambda b, t, *_: (b, t // nb, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, *_: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, Gp, D),
+                               lambda b, t, *_: (b, t // nb, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, ppb, 2, page, D), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -205,13 +240,13 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, ppb, page, layer),
+        functools.partial(_kernel, ppb, page, layer, nb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(meta, indices.astype(jnp.int32), qg, kv_pages)
+    )(meta, indices, lastslot, qg, kv_pages)
 
     return out[:, :, :G, :].reshape(B, Hq, D)
