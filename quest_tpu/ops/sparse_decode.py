@@ -8,11 +8,13 @@ decode attention over them. The reference needs a host-side planner
 is statically scheduled and partial-softmax state lives in VMEM scratch
 that persists across sequential grid steps, so no planner exists.
 
-Design (TPU-first). The gather is HBM random-access *latency/issue*
-bound — scalar-core DMA descriptor issue is ~20 ns/descriptor and the
-4096 page fetches of the 32-head/128-page headline config dominate the
-kernel — so everything is built around keeping the DMA pipeline full
-and the scalar core unburdened:
+Design (TPU-first). The gather is HBM *DMA-throughput* bound: an A/B
+with identical bytes showed 4096 per-page descriptors cost only ~6 us
+more than 64 contiguous block descriptors (~1.5 ns/descriptor
+amortized), and even fully-contiguous manual 2-slot double buffering
+tops out near ~490 GB/s — so the design keeps the DMA pipeline full
+across the whole grid and keeps scalar/VPU bookkeeping off the
+critical path:
   * Page indices arrive via **scalar prefetch**
     (`PrefetchScalarGridSpec`) so addresses are known before compute.
   * The packed pool layout (kv/paged_kv.py) keeps each page's K and V

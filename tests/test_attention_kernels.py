@@ -99,6 +99,32 @@ def test_dense_decode_matches_oracle(seq_lens, Hq, Hkv, D, block_t):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_sparse_decode_without_last_page():
+    """Hand-injected selections that EXCLUDE the current page (the
+    kernel's lastslot=-1 path: no partial-fill masking applies) and
+    have junk tail slots, vs the oracle."""
+    rng = np.random.default_rng(11)
+    B, Hq, Hkv, D, page, P = 2, 4, 2, 64, 16, 9
+    seq = jnp.asarray([int(P * page - 5), 70])   # last pages: 8 and 4
+    kv_pages, k_pages, v_pages = make_packed(rng, B, Hkv, P, page, D)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    sm = 1.0 / np.sqrt(D)
+
+    S = 4
+    idx = np.zeros((B, Hkv, S), np.int32)
+    idx[0, :, :] = [0, 2, 5, 7]      # excludes page 8 (the last)
+    idx[1, :, :] = [1, 3, 3, 3]      # excludes page 4; junk tail repeats
+    num_valid = jnp.asarray([4, 2], jnp.int32)
+    idx = jnp.asarray(idx)
+
+    want = sparse_decode_attention_reference(q, k_pages, v_pages, idx,
+                                             num_valid, seq, sm)
+    got = sparse_decode_attention(q, kv_pages, idx, num_valid, seq,
+                                  sm_scale=sm, pages_per_block=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_sparse_with_all_pages_equals_dense():
     """Budget >= num_pages must reproduce dense attention exactly —
     the unified dense fallback (`QuestAttention.py:125-133`)."""
