@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
-def _kernel(ppb: int, page: int, layer: int | None, nb: int,
+def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
             meta_ref, idx_ref, lastslot_ref, q_ref, kv_hbm, o_ref,
             kv_buf, sems, m_scr, l_scr, acc_scr):
     b = pl.program_id(0)
@@ -66,9 +66,15 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int,
     # buffer directly — no per-layer slice materialization outside.
     kv_hbm = kv_hbm if layer is None else kv_hbm.at[layer]
 
-    def start_copies(bb, hh, blk, slot):
+    def start_copies(ff):
+        # Issue the gather for global step ``ff`` into slot ff % nslot.
         # One descriptor per page ([2, page, D] = K and V together);
         # all signal the same per-slot semaphore.
+        bb = ff // T
+        tt = ff % T
+        hh = tt // nb
+        blk = tt % nb
+        slot = ff % nslot
         for i in range(ppb):
             pid = idx_ref[bb, hh, blk * ppb + i]
             pltpu.make_async_copy(
@@ -76,6 +82,17 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int,
                 kv_buf.at[slot, i],
                 sems.at[slot],
             ).start()
+
+    def start_if_valid(ff):
+        # Skip blocks past a row's valid count: copies that are never
+        # waited on would leak semaphore signals into a later wait.
+        bb = ff // T
+        jj = (ff % T) % nb
+
+        @pl.when(jnp.logical_and(bb < B,
+                                 jj < pl.cdiv(meta_ref[bb % B, 0], ppb)))
+        def _():
+            start_copies(ff)
 
     def wait_copies(slot):
         # DMA semaphores count BYTES (jax pallas mosaic lowering:
@@ -88,29 +105,19 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int,
     nv_blocks = pl.cdiv(num_valid, ppb)
     flat = b * T + t
 
-    # Self-start: the very first valid block of each batch row issues
-    # its own copies (guard num_valid > 0: issuing copies that are
-    # never waited on would leak semaphore signals into a later wait).
-    @pl.when(jnp.logical_and(t == 0, nv_blocks > 0))
+    # Prologue at the GLOBAL first step only: fill the first nslot-1
+    # slots. Later blocks — including other batch rows' first blocks —
+    # arrive via the steady-state prefetch below; issuing any block
+    # twice would double-signal its slot semaphore and let a later wait
+    # return before its data landed.
+    @pl.when(flat == 0)
     def _():
-        start_copies(b, h, 0, flat % 2)
+        for d in range(nslot - 1):
+            start_if_valid(d)
 
-    # Cross-boundary prefetch: issue the NEXT grid step's block (which
-    # may belong to the next head or the next batch row) while this
-    # block's data streams in / computes.
-    nxt = flat + 1
-    b2 = nxt // T
-    t2 = nxt % T
-
-    @pl.when(b2 < B)
-    def _():
-        h2 = t2 // nb
-        j2 = t2 % nb
-        nvb2 = pl.cdiv(meta_ref[b2, 0], ppb)
-
-        @pl.when(j2 < nvb2)
-        def _():
-            start_copies(b2, h2, j2, nxt % 2)
+    # Steady-state: keep nslot-1 blocks in flight; the prefetch crosses
+    # head and batch boundaries so the DMA pipeline never drains.
+    start_if_valid(flat + nslot - 1)
 
     @pl.when(j == 0)
     def _():
@@ -120,7 +127,7 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int,
 
     @pl.when(j < nv_blocks)
     def _():
-        slot = flat % 2
+        slot = flat % nslot
         wait_copies(slot)
         q = q_ref[0, 0]                          # [Gp, D]
         kv = kv_buf[slot]                        # [ppb, 2, page, D]
@@ -163,10 +170,12 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int,
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "pages_per_block",
-                                             "interpret", "layer"))
+                                             "num_slots", "interpret",
+                                             "layer"))
 def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             seq_lens, *, sm_scale: float,
                             pages_per_block: int = 64,
+                            num_slots: int = 2,
                             interpret: bool | None = None,
                             layer: int | None = None):
     """Decode attention over selected pages.
@@ -180,6 +189,8 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
       num_valid: [B] int32 count of real slots.
       seq_lens: [B] int32 sequence lengths incl. the current token.
       sm_scale: softmax scale (1/sqrt(D)).
+      pages_per_block / num_slots: gather granularity and VMEM slot
+        ring depth (num_slots-1 blocks stay in flight).
 
     Returns: [B, Hq, D] f32 attention output.
     """
@@ -233,8 +244,8 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
         out_specs=pl.BlockSpec((1, 1, Gp, D),
                                lambda b, t, *_: (b, t // nb, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, ppb, 2, page, D), kv_pages.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((num_slots, ppb, 2, page, D), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((num_slots,)),
             pltpu.VMEM((Gp, 128), jnp.float32),
             pltpu.VMEM((Gp, 128), jnp.float32),
             pltpu.VMEM((Gp, D), jnp.float32),
@@ -242,7 +253,7 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, ppb, page, layer, nb),
+        functools.partial(_kernel, ppb, page, layer, nb, num_slots),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(

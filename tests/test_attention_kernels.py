@@ -44,17 +44,19 @@ def flat_to_packed(k_flat, v_flat, page):
                       v.reshape(B, H, P, page, D)], axis=3)
 
 
-@pytest.mark.parametrize("seq_lens,page,budget,Hq,Hkv,D,ppb", [
-    ([63], 16, 4, 4, 4, 64, 2),        # MHA, partial last page
-    ([129, 47], 16, 4, 4, 4, 64, 2),   # batch of 2, different lengths
-    ([257], 16, 8, 8, 2, 64, 4),       # GQA group of 4
-    ([95], 8, 3, 2, 2, 128, 2),        # page 8, head_dim 128
-    ([33], 16, 16, 4, 4, 64, 8),       # budget > pages: dense fallback
-    ([16], 16, 4, 2, 2, 64, 2),        # exactly one full page
-    ([500], 4, 7, 2, 1, 64, 3),        # small pages, odd budget/ppb
+@pytest.mark.parametrize("seq_lens,page,budget,Hq,Hkv,D,ppb,nslot", [
+    ([63], 16, 4, 4, 4, 64, 2, 2),        # MHA, partial last page
+    ([129, 47], 16, 4, 4, 4, 64, 2, 2),   # batch of 2, different lengths
+    ([257], 16, 8, 8, 2, 64, 4, 2),       # GQA group of 4
+    ([95], 8, 3, 2, 2, 128, 2, 2),        # page 8, head_dim 128
+    ([33], 16, 16, 4, 4, 64, 8, 2),       # budget > pages: dense fallback
+    ([16], 16, 4, 2, 2, 64, 2, 2),        # exactly one full page
+    ([500], 4, 7, 2, 1, 64, 3, 2),        # small pages, odd budget/ppb
+    ([129, 47, 200], 16, 4, 4, 4, 64, 2, 4),  # deep slot ring, batch 3
+    ([257], 16, 8, 4, 4, 64, 2, 3),       # odd slot ring
 ])
 def test_sparse_decode_matches_oracle(seq_lens, page, budget, Hq, Hkv, D,
-                                      ppb):
+                                      ppb, nslot):
     rng = np.random.default_rng(hash((tuple(seq_lens), page, budget)) % 2**31)
     B = len(seq_lens)
     P = max((s + page - 1) // page for s in seq_lens) + 2
@@ -70,7 +72,8 @@ def test_sparse_decode_matches_oracle(seq_lens, page, budget, Hq, Hkv, D,
     want = sparse_decode_attention_reference(q, k_pages, v_pages, idx,
                                              num_valid, seq, sm)
     got = sparse_decode_attention(q, kv_pages, idx, num_valid, seq,
-                                  sm_scale=sm, pages_per_block=ppb)
+                                  sm_scale=sm, pages_per_block=ppb,
+                                  num_slots=nslot)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
 
