@@ -9,6 +9,17 @@ sequential stream of ``[2, page, D]`` page blocks with ordinary
 pipelined BlockSpecs; the MXU and the Mosaic pipeliner replace the
 reference's wmma tiles and cp.async choreography.
 
+Prefill KV traffic scales as (total q rows) / (rows per stream): each
+q block streams the cache up to its causal limit. Two levers keep it
+compute- rather than bandwidth-bound:
+  * large ``block_q`` (default 1024 tokens; causal-skip waste stays
+    ~block_q/2 of one stream);
+  * **GQA fusion** — the G query heads of a KV-head group ride in ONE
+    q block ([G·block_q, D] fused rows), so the group streams the KV
+    once instead of G times, with no extra causal waste (all G heads
+    share the same token range; the reference templates a group_size
+    for the same reason, `prefill.cuh:688`).
+
 Supports chunked prefill: queries sit at absolute positions
 ``offset + i`` (``offset`` = tokens already cached), enabling the
 prefill-context-then-decode-question pattern the reference evals use
@@ -29,18 +40,19 @@ from jax.experimental.pallas import tpu as pltpu
 from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
-def _kernel(block_q: int, bpk: int, page: int, meta_ref, q_ref, kv_ref,
-            o_ref, m_scr, l_scr, acc_scr):
+def _kernel(block_q: int, G: int, bpk: int, page: int, meta_ref, q_ref,
+            kv_ref, o_ref, m_scr, l_scr, acc_scr):
     b = pl.program_id(0)
     i = pl.program_id(2)
     j = pl.program_id(3)
     nb_k = pl.num_programs(3)
     block_k = bpk * page
+    R = G * block_q                    # fused rows: G heads x block_q
     offset = meta_ref[b, 0]
     kv_len = meta_ref[b, 1]
 
     # KV blocks that matter for this q block: causal upper bound and
-    # sequence-length bound.
+    # sequence-length bound (same for every head of the group).
     max_q_pos = offset + (i + 1) * block_q - 1
     hi = jnp.minimum(pl.cdiv(max_q_pos + 1, block_k),
                      pl.cdiv(kv_len, block_k))
@@ -51,26 +63,33 @@ def _kernel(block_q: int, bpk: int, page: int, meta_ref, q_ref, kv_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(j < hi)
-    def _():
-        q = q_ref[0, 0]          # [block_q, D]
+    # Interior KV blocks — strictly below the causal diagonal and fully
+    # inside the sequence — need no masking; skipping the mask build and
+    # the two `where` passes removes ~half the VPU work per block, which
+    # is what bounds prefill once KV streaming is amortized (the mask
+    # only matters on the ~1 diagonal and ~1 tail block per q block).
+    def body(masked: bool):
+        q = q_ref[0, 0].reshape(R, -1)           # [G*block_q, D]
         kv = kv_ref[...].reshape(bpk, 2, page, q.shape[-1])
         k = kv[:, 0].reshape(block_k, -1)
         v = kv[:, 1].reshape(block_k, -1)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        q_pos = offset + i * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0)
-        k_pos = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        mask = jnp.logical_and(k_pos <= q_pos, k_pos < kv_len)
-        s = jnp.where(mask, s, MASK_VALUE)
+        if masked:
+            row = jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 0)
+            q_pos = offset + i * block_q + row % block_q  # head-invariant
+            k_pos = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (R, block_k), 1)
+            mask = jnp.logical_and(k_pos <= q_pos, k_pos < kv_len)
+            s = jnp.where(mask, s, MASK_VALUE)
         m_prev = m_scr[...]
         l_prev = l_scr[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(mask, jnp.exp(s - m_new[:, :1]), 0.0)
+        p = jnp.exp(s - m_new[:, :1])
+        if masked:
+            p = jnp.where(mask, p, 0.0)
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_new
         pv = jax.lax.dot_general(p.astype(v.dtype), v,
@@ -78,20 +97,33 @@ def _kernel(block_q: int, bpk: int, page: int, meta_ref, q_ref, kv_ref,
                                  preferred_element_type=jnp.float32)
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
+    q_min = offset + i * block_q
+    interior = jnp.logical_and((j + 1) * block_k - 1 <= q_min,
+                               (j + 1) * block_k <= kv_len)
+
+    @pl.when(jnp.logical_and(j < hi, interior))
+    def _():
+        body(masked=False)
+
+    @pl.when(jnp.logical_and(j < hi, jnp.logical_not(interior)))
+    def _():
+        body(masked=True)
+
     @pl.when(j == nb_k - 1)
     def _():
         # Padded query rows (beyond the real T) attend to at least the
         # diagonal block, so l > 0 everywhere; junk rows are sliced off
         # by the caller.
-        o_ref[0, 0] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
+        o = acc_scr[...] / l_scr[:, :1]
+        o_ref[0, 0] = o.reshape(G, block_q, -1).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_q",
                                              "block_k", "interpret",
                                              "layer"))
 def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
-                      sm_scale: float, block_q: int = 256,
-                      block_k: int = 512, interpret: bool | None = None,
+                      sm_scale: float, block_q: int = 1024,
+                      block_k: int = 1024, interpret: bool | None = None,
                       layer: int | None = None):
     """Causal attention of T fresh queries over the paged cache.
 
@@ -109,7 +141,10 @@ def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
     _, Hkv, P, _, page, _ = shp
     G = Hq // Hkv
 
-    block_q = min(block_q, round_up(T, 16))
+    # Keep the fused row count VMEM-friendly: the [R, block_k] f32
+    # score/prob temporaries must fit the 16 MB scoped-vmem limit, so
+    # cap R = G*block_q at 1024 (8 MB of temporaries at block_k=1024).
+    block_q = min(block_q, round_up(T, 16), max(1024 // G, 256))
     bpk = max(1, min(block_k // page, P))
     block_k = bpk * page
 
@@ -117,6 +152,7 @@ def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
     Tp = round_up(T, block_q)
     qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
     qt = qt.astype(kv_pages.dtype)          # [B, Hq, Tp, D]
+    qt = qt.reshape(B, Hkv, G, Tp, D)
     if P % bpk != 0:
         if layer is not None:
             while P % bpk:      # whole-pool mode cannot pad
@@ -142,34 +178,35 @@ def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
                          pl.cdiv(kv_len, block_k))
         jj = jnp.minimum(j, jnp.maximum(hi - 1, 0))
         if layer is None:
-            return (b, h * Hkv // Hq, jj, 0, 0, 0)
-        return (layer, b, h * Hkv // Hq, jj, 0, 0, 0)
+            return (b, h, jj, 0, 0, 0)
+        return (layer, b, h, jj, 0, 0, 0)
 
     kv_block = ((1, 1, bpk, 2, page, D) if layer is None
                 else (1, 1, 1, bpk, 2, page, D))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hq, nb_q, nb_k),
+        grid=(B, Hkv, nb_q, nb_k),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, D),
-                         lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, G, block_q, D),
+                         lambda b, h, i, j, *_: (b, h, 0, i, 0)),
             pl.BlockSpec(kv_block, kv_index),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D),
-                               lambda b, h, i, j, *_: (b, h, i, 0)),
+        out_specs=pl.BlockSpec((1, 1, G, block_q, D),
+                               lambda b, h, i, j, *_: (b, h, 0, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((G * block_q, 128), jnp.float32),
+            pltpu.VMEM((G * block_q, 128), jnp.float32),
+            pltpu.VMEM((G * block_q, D), jnp.float32),
         ],
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, block_q, bpk, page),
+        functools.partial(_kernel, block_q, G, bpk, page),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Tp, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Tp, D), jnp.float32),
         interpret=interpret,
     )(meta, qt, kv_pages)
 
+    out = out.reshape(B, Hq, Tp, D)
     return out[:, :, :T].transpose(0, 2, 1, 3)

@@ -101,7 +101,8 @@ def main():
 
     want = (set(args.stages.split(","))
             if args.stages != "all" else
-            {"estimate", "topk", "sparse", "dense", "append", "pipeline"})
+            {"estimate", "topk", "sparse", "dense", "append", "prefill",
+             "pipeline"})
 
     def fb(x, y):  # scalar feedback so the loop body can't be elided
         dep = jnp.tanh(jnp.sum(y.astype(jnp.float32))) * 1e-3
@@ -143,6 +144,29 @@ def main():
                            lay.seq_lens)
         t = bench_op(append_step, layer, iters=iters_cheap)
         report("append_decode", t, 2 * B * Hkv * (page + 2) * D * bpe)
+
+    if "prefill" in want:
+        # NVBench analogue of `bench_prefill.cu`: causal flash-prefill
+        # of a CHUNK tokens chunk at the END of the full context (the
+        # hardest window: it attends to everything). Reports achieved
+        # MXU throughput; FLOPs = 2 matmuls x 2 MACs x CHUNK x CTX x D
+        # per head.
+        from quest_tpu.ops.prefill import prefill_attention
+        CHUNK = min(2048, CTX)
+        qp = jnp.asarray(
+            (rng.standard_normal((B, CHUNK, Hq, D)) * 0.3).astype(
+                np.float32))
+        offs = jnp.full((B,), CTX - CHUNK, jnp.int32)
+
+        def prefill_step(qp, env):
+            o = prefill_attention(qp, env, offs, seq, sm_scale=sm)
+            return fb(qp, o)
+        t = bench_op(prefill_step, qp, iters=iters_cheap,
+                     env=layer.kv_pages)
+        flops = 2 * 2 * B * Hq * CHUNK * (CTX - CHUNK / 2) * D
+        log(f"{'prefill':16s} {t*1e6:9.1f} us   "
+            f"{flops/t/1e12:7.1f} TFLOP/s (chunk {CHUNK} @ end of {CTX})")
+        results["prefill"] = t
 
     if "pipeline" in want:
         def pipe_step(q, env):
