@@ -82,35 +82,41 @@ def main():
                                                         sm_scale=sm)),
             q, iters=iters, reps=reps, env=layer.kv_pages)
 
-        def sparse_step(q, env):
-            kv_pages, kmax, kmin = env
-            scores = page_scores(q, kmax, kmin)
-            idx, num_valid = select_pages(scores, seq, page, S)
-            return fb(q, sparse_decode_attention(q, kv_pages, idx,
-                                                 num_valid, seq,
-                                                 sm_scale=sm))
+        def make_sparse_step(method):
+            def sparse_step(q, env):
+                kv_pages, kmax, kmin = env
+                scores = page_scores(q, kmax, kmin)
+                idx, num_valid = select_pages(scores, seq, page, S,
+                                              method=method)
+                return fb(q, sparse_decode_attention(q, kv_pages, idx,
+                                                     num_valid, seq,
+                                                     sm_scale=sm))
+            return sparse_step
 
-        t_sparse = bench_op(sparse_step, q, iters=iters, reps=reps,
-                            env=(layer.kv_pages, layer.k_max,
-                                 layer.k_min))
+        # Headline: the default engine configuration (exact top-k,
+        # bf16 metadata — paper-faithful semantics).
+        t_sparse = bench_op(make_sparse_step("exact"), q, iters=iters,
+                            reps=reps, env=(layer.kv_pages, layer.k_max,
+                                            layer.k_min))
 
-        # Secondary: fp8 (e4m3) metadata storage (QuestConfig.meta_dtype)
-        # halves the estimate's HBM traffic; ranking-only use keeps
-        # selection near-identical (tests/test_estimate_topk.py).
-        t_sparse_fp8 = None
+        # Secondary: the long-context serving configuration — approx
+        # top-k (QuestConfig.topk_method="approx", sound when pages >>
+        # budget as here) + fp8 (e4m3) metadata (meta_dtype, halves the
+        # estimate's HBM traffic; tests/test_estimate_topk.py).
+        t_sparse_fast = None
         if on_tpu:
             f8 = jnp.float8_e4m3fn
-            t_sparse_fp8 = bench_op(
-                sparse_step, q, iters=iters, reps=reps,
+            t_sparse_fast = bench_op(
+                make_sparse_step("approx"), q, iters=iters, reps=reps,
                 env=(layer.kv_pages, layer.k_max.astype(f8),
                      layer.k_min.astype(f8)))
-        return t_dense, t_sparse, t_sparse_fp8
+        return t_dense, t_sparse, t_sparse_fast
 
     # Reference headline config: 32K ctx, budget 2048, page 16, 32 heads.
     CTX = 32768 if on_tpu else 2048          # CPU smoke fallback
     BUDGET = 2048 if on_tpu else 256
     page, Hkv, D = 16, 32, 128
-    t_dense, t_sparse, t_sparse_fp8 = measure(CTX, BUDGET)
+    t_dense, t_sparse, t_sparse_fast = measure(CTX, BUDGET)
     speedup = t_dense / t_sparse
 
     # Bytes-moved accounting (NVBench analogue,
@@ -131,16 +137,18 @@ def main():
     }
 
     if on_tpu:
-        log(f"fp8-metadata sparse: {t_sparse_fp8*1e6:.1f} us "
-            f"({t_dense/t_sparse_fp8:.2f}x)")
-        result["speedup_32k_fp8_meta"] = round(t_dense / t_sparse_fp8, 3)
+        log(f"serving config (approx topk + fp8 meta): "
+            f"{t_sparse_fast*1e6:.1f} us ({t_dense/t_sparse_fast:.2f}x)")
+        result["speedup_32k_serving_cfg"] = round(
+            t_dense / t_sparse_fast, 3)
         # Long-context point (the reference's bench axes reach 131072;
         # its published headline is the 32K point above).
-        td128, ts128, ts128f8 = measure(131072, 2048)
+        td128, ts128, ts128f = measure(131072, 2048)
         log(f"128K: dense {td128*1e6:.0f} us, sparse {ts128*1e6:.0f} us, "
-            f"speedup {td128/ts128:.2f}x (fp8 meta {td128/ts128f8:.2f}x)")
+            f"speedup {td128/ts128:.2f}x (serving cfg "
+            f"{td128/ts128f:.2f}x)")
         result["speedup_128k_budget2048"] = round(td128 / ts128, 3)
-        result["speedup_128k_fp8_meta"] = round(td128 / ts128f8, 3)
+        result["speedup_128k_serving_cfg"] = round(td128 / ts128f, 3)
         result["dense_us_32k"] = round(t_dense * 1e6, 1)
         result["sparse_us_32k"] = round(t_sparse * 1e6, 1)
 

@@ -88,6 +88,11 @@ class QuestConfig:
     # error on the criticality bound — ranking-only, so selection is
     # near-identical; see tests/test_estimate_topk.py).
     meta_dtype: Optional[object] = None
+    # Top-K page selection: "exact" (lax.top_k) or "approx"
+    # (lax.approx_max_k, ~3x faster on TPU). Approx is only sound when
+    # every sequence's page count is far above the budget — see
+    # ops/topk.py:select_pages for the failure mode on short rows.
+    topk_method: str = "exact"
 
     @property
     def resolved_meta_dtype(self):

@@ -134,7 +134,8 @@ class QuestModel:
             with jax.named_scope("quest_topk"):
                 idx, num_valid = select_pages(scores, seq_lens,
                                               quest.page_size,
-                                              quest.page_budget)
+                                              quest.page_budget,
+                                              method=quest.topk_method)
             with jax.named_scope("quest_sparse_attn"):
                 return sparse_decode_attention(
                     q, cache.kv_pages, idx, num_valid, seq_lens,

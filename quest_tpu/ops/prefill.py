@@ -144,7 +144,10 @@ def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
     # Keep the fused row count VMEM-friendly: the [R, block_k] f32
     # score/prob temporaries must fit the 16 MB scoped-vmem limit, so
     # cap R = G*block_q at 1024 (8 MB of temporaries at block_k=1024).
-    block_q = min(block_q, round_up(T, 16), max(1024 // G, 256))
+    # The cap must round DOWN to the 16-row sublane tile (1024//G is
+    # not a multiple of 16 for e.g. G=3) and hold for any G.
+    cap = max((1024 // G) // 16 * 16, 16)
+    block_q = min(block_q, round_up(T, 16), cap)
     bpk = max(1, min(block_k // page, P))
     block_k = bpk * page
 

@@ -189,7 +189,10 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
       kv_pages: [B, Hkv, P, 2, page, D] packed paged cache (0=K, 1=V) —
         or the whole-model pool [L, B, Hkv, P, 2, page, D] with a static
         ``layer`` index (zero-copy read of the persistent buffer).
-      indices: [B, Hkv, S] int32 selected page ids (slots >= num_valid junk).
+      indices: [B, Hkv, S] int32 selected page ids (slots >= num_valid
+        junk; valid slots must hold DISTINCT ids — the partial current
+        page is unmasked at duplicate occurrences otherwise).
+        select_pages guarantees both.
       num_valid: [B] int32 count of real slots.
       seq_lens: [B] int32 sequence lengths incl. the current token.
       sm_scale: softmax scale (1/sqrt(D)).

@@ -35,8 +35,8 @@ _POS_INF = float("inf")
 def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
                  budget_pages: int,
                  sort_by_page: bool = True,
-                 method: str = "auto") -> Tuple[jnp.ndarray,
-                                                jnp.ndarray]:
+                 method: str = "exact") -> Tuple[jnp.ndarray,
+                                                 jnp.ndarray]:
     """Select the top-``budget_pages`` pages per (batch, kv-head).
 
     Args:
@@ -49,15 +49,20 @@ def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
         the gather DMAs then walk HBM monotonically, measured ~18%
         faster sparse attention for ~3 us of sort (junk slots stay at
         the tail, so slot-position masking is unaffected).
-      method: "exact" = ``lax.top_k`` (lowers to a full variadic sort
-        on TPU, ~48 us at 32 heads x 2048 pages); "approx" =
-        ``lax.approx_max_k`` (TPU PartialReduce, ~15 us, recall_target
-        0.95 — measured recall 1.0 on real score distributions, and
-        page selection is itself a bound-based heuristic, mirroring the
-        reference's fp16 radix top-k tie behavior,
-        `decode_select_k.cuh:26-62`); "auto" = approx on TPU when the
-        score row is large enough, exact elsewhere (CPU test oracles
-        stay bit-exact).
+      method: "exact" (default) = ``lax.top_k`` (lowers to a full
+        variadic sort on TPU, ~48 us at 32 heads x 2048 pages).
+        "approx" = ``lax.approx_max_k`` (TPU PartialReduce, ~15 us,
+        recall_target 0.95 — measured recall 1.0 on long-context score
+        distributions, mirroring the reference's fp16 radix top-k tie
+        behavior, `decode_select_k.cuh:26-62`). CAUTION: approx is
+        only sound when every row has num_pages >> budget_pages — for
+        short rows (num_pages near or below the budget) PartialReduce
+        bin collisions can drop valid pages and surface -inf slots
+        below ``num_valid``, whose clamped ids would attend
+        uninitialized pool pages. Opt in per deployment
+        (QuestConfig.topk_method) only when the serving regime
+        guarantees long contexts; falls back to exact off-TPU or when
+        the pool is too small.
 
     Returns:
       indices: [B, H, K] int32 page ids; the selected *set* is
@@ -77,13 +82,13 @@ def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
     page_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1, P), 2)
     s = jnp.where(page_ids < num_pages[:, None, None], scores, _NEG_INF)
     s = jnp.where(page_ids == last_page[:, None, None], _POS_INF, s)
-    if method == "auto":
-        # approx_max_k needs enough slack between P and k for the
-        # PartialReduce to help; the +inf last page always survives the
-        # reduction (it wins its bin), so forced inclusion is preserved.
-        on_tpu = jax.default_backend() == "tpu"
-        method = ("approx" if on_tpu and P >= 4 * budget_pages
-                  and P >= 256 else "exact")
+    if method == "approx":
+        # The +inf last page always survives the reduction (it wins
+        # its bin), so forced inclusion is preserved. Fall back to
+        # exact when approx cannot help (small pool or off-TPU).
+        if not (jax.default_backend() == "tpu"
+                and P >= 4 * budget_pages and P >= 256):
+            method = "exact"
     if method == "approx":
         _, indices = jax.lax.approx_max_k(s, budget_pages,
                                           recall_target=0.95)
