@@ -154,6 +154,9 @@ def test_sparse_with_all_pages_equals_dense():
     (17, 23, 2, 2, 64, 16, 16),      # chunked prefill with past
     (128, 0, 2, 2, 128, 128, 64),    # D=128
     (1, 40, 2, 1, 64, 16, 16),       # single-token chunk
+    (48, 0, 6, 2, 64, 1024, 32),     # G=3: default block_q cap must
+                                     # round to the 16-row tile
+    (48, 0, 16, 2, 64, 1024, 32),    # G=8: fused rows capped at 1024
 ])
 def test_prefill_matches_oracle(T, offset, Hq, Hkv, D, bq, bk):
     rng = np.random.default_rng(T * 31 + offset)
