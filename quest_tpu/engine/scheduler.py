@@ -21,6 +21,15 @@ serving is a new first-class component of the TPU build (SURVEY.md
 This is non-chunked continuous batching: admissions happen between
 decode steps, like early vLLM. Per-request sampling params are applied
 host-side on the returned logits.
+
+Greedy requests decode in **bursts**: ``burst`` chained on-device
+dispatches (argmax token fed straight back, cache donated) per host
+round-trip, because a per-token logits fetch costs ~tens of ms through
+remote dispatch (see models/llama.py:decode_token_step). A request
+that finishes mid-burst over-generates into its slot until the burst
+ends; the junk is trimmed host-side and the slot (recycled to
+seq_len 0) never exposes it. Requests with temperature > 0 fall back
+to per-tick host sampling.
 """
 
 from __future__ import annotations
@@ -68,21 +77,27 @@ class ContinuousBatchingEngine:
 
     def __init__(self, cfg: ModelConfig, quest: QuestConfig, params: Params,
                  max_batch: int = 4, prefill_bucket: int = 256,
-                 seed: int = 0):
+                 seed: int = 0, burst: int = 16):
         self.cfg = cfg
         self.quest = quest
         self.params = params
         self.max_batch = max_batch
         self.prefill_bucket = prefill_bucket
+        self.burst = max(1, burst)
         self.model = QuestModel(cfg, quest)
         self.cache = init_cache(cfg, quest, max_batch)
         self._prefill_fn = jax.jit(self.model.prefill_last,
                                    donate_argnums=(1,))
         self._decode_fn = jax.jit(self.model.decode_step,
                                   donate_argnums=(1,))
+        self._tok_fn = jax.jit(self.model.decode_token_step,
+                               donate_argnums=(1,))
         self.slots: List[Optional[_Slot]] = [None] * max_batch
         self.queue: deque[Request] = deque()
         self._seed = seed
+        # Host mirror of per-slot lengths: admission headroom and burst
+        # bounds without device fetches.
+        self._hlens = np.zeros((max_batch,), np.int64)
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> None:
@@ -112,7 +127,7 @@ class ContinuousBatchingEngine:
         if not free or not self.queue:
             return []
         pool_tokens = self.quest.max_pages * self.quest.page_size
-        busy_max = max((int(np.asarray(self.cache.seq_lens)[b])
+        busy_max = max((int(self._hlens[b])
                         for b, s in enumerate(self.slots) if s is not None),
                       default=0)
         headroom = pool_tokens - busy_max
@@ -133,13 +148,14 @@ class ContinuousBatchingEngine:
         new_lens = np.zeros((B,), np.int32)
         # Free the admitted slots' previous state (the quest_clear
         # analogue), then prefill at offset 0.
-        seq_lens = np.array(self.cache.seq_lens)  # writable copy
         for b, req in admits:
             toks[b, : len(req.prompt)] = req.prompt
             new_lens[b] = len(req.prompt)
-            seq_lens[b] = 0
+            self._hlens[b] = len(req.prompt)
+        reset = np.asarray([b for b, _ in admits], np.int32)
         self.cache = dataclasses.replace(
-            self.cache, seq_lens=jnp.asarray(seq_lens))
+            self.cache,
+            seq_lens=self.cache.seq_lens.at[reset].set(0))
 
         logits, self.cache = self._prefill_fn(
             self.params, self.cache, jnp.asarray(toks),
@@ -170,6 +186,47 @@ class ContinuousBatchingEngine:
         for b in active_idx:
             toks[b] = self.slots[b].pending
             active[b] = True
+
+        greedy = all(self.slots[b].req.temperature <= 0.0
+                     for b in active_idx)
+        if greedy:
+            # Burst: K chained on-device steps, ONE host fetch at the
+            # end. K is bounded by the pool headroom of every active
+            # slot (finished-mid-burst slots keep appending junk until
+            # the burst ends) and by the longest remaining request.
+            remaining = max(self.slots[b].req.max_new_tokens
+                            - len(self.slots[b].generated)
+                            for b in active_idx)
+            headroom = min(self.quest.max_seq_len - int(self._hlens[b])
+                           for b in active_idx)
+            K = max(1, min(self.burst, remaining, headroom))
+            act_dev = jnp.asarray(active)
+            tok = jnp.asarray(toks)
+            outs = []
+            for _ in range(K):
+                tok, self.cache = self._tok_fn(self.params, self.cache,
+                                               tok, act_dev)
+                outs.append(tok)
+            arr = np.stack([np.asarray(t) for t in outs], axis=1)  # [B, K]
+            for b in active_idx:
+                self._hlens[b] += K
+            # Emit in token-time order (step-major) so cross-request
+            # finish ordering matches the unbatched semantics.
+            done = set()
+            for k in range(K):
+                for b in active_idx:
+                    if b in done:
+                        continue    # junk tail of the burst is dropped
+                    slot = self.slots[b]
+                    nxt = int(arr[b, k])
+                    slot.generated.append(nxt)
+                    slot.pending = nxt
+                    ev = self._maybe_finish(b, slot, nxt)
+                    events.append(ev)
+                    if ev.finished:
+                        done.add(b)
+            return events
+
         logits, self.cache = self._decode_fn(
             self.params, self.cache, jnp.asarray(toks),
             jnp.asarray(active))
@@ -182,6 +239,7 @@ class ContinuousBatchingEngine:
             nxt = self._sample(logits[b], slot.req.temperature, slot.rng)
             slot.generated.append(nxt)
             slot.pending = nxt
+            self._hlens[b] += 1      # before finish (which resets to 0)
             events.append(self._maybe_finish(b, slot, nxt))
         return events
 
@@ -193,6 +251,7 @@ class ContinuousBatchingEngine:
         if done:
             self.slots[b] = None
             # Recycle the slot: pool reused, fill pointer reset.
+            self._hlens[b] = 0
             self.cache = dataclasses.replace(
                 self.cache,
                 seq_lens=self.cache.seq_lens.at[b].set(0))

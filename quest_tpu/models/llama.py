@@ -274,7 +274,8 @@ class QuestModel:
         return logits[:, 0], cache
 
     def decode_token_step(self, params: Params, cache: PagedKVCache,
-                          tokens: jnp.ndarray):
+                          tokens: jnp.ndarray,
+                          active: jnp.ndarray | None = None):
         """One greedy decode step returning the next token on device:
         tokens [B] -> (next_tokens [B], cache).
 
@@ -282,6 +283,7 @@ class QuestModel:
         NO per-step host fetch — dispatches pipeline asynchronously, so
         the device runs back-to-back steps (measured 7.4 ms/token at 32K
         vs 38 ms for a lax.scan formulation, whose carried cache gets
-        copied every iteration, and vs ~50 ms with a per-token fetch)."""
-        logits, cache = self.decode_step(params, cache, tokens)
+        copied every iteration, and vs ~50 ms with a per-token fetch).
+        ``active`` as in decode_step (continuous-batching bursts)."""
+        logits, cache = self.decode_step(params, cache, tokens, active)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
