@@ -28,8 +28,10 @@ round-trip, because a per-token logits fetch costs ~tens of ms through
 remote dispatch (see models/llama.py:decode_token_step). A request
 that finishes mid-burst over-generates into its slot until the burst
 ends; the junk is trimmed host-side and the slot (recycled to
-seq_len 0) never exposes it. Requests with temperature > 0 fall back
-to per-tick host sampling.
+seq_len 0) never exposes it. Sampled requests burst too: the PRNG key
+rides on device (models/llama.py:decode_sample_step); only the first
+token of each request (at admission) is sampled host-side from the
+prefill logits.
 """
 
 from __future__ import annotations
@@ -88,13 +90,14 @@ class ContinuousBatchingEngine:
         self.cache = init_cache(cfg, quest, max_batch)
         self._prefill_fn = jax.jit(self.model.prefill_last,
                                    donate_argnums=(1,))
-        self._decode_fn = jax.jit(self.model.decode_step,
-                                  donate_argnums=(1,))
         self._tok_fn = jax.jit(self.model.decode_token_step,
                                donate_argnums=(1,))
+        self._sample_fn = jax.jit(self.model.decode_sample_step,
+                                  donate_argnums=(1,))
         self.slots: List[Optional[_Slot]] = [None] * max_batch
         self.queue: deque[Request] = deque()
         self._seed = seed
+        self._key = jax.random.PRNGKey(seed)
         # Host mirror of per-slot lengths: admission headroom and burst
         # bounds without device fetches.
         self._hlens = np.zeros((max_batch,), np.int64)
@@ -187,60 +190,56 @@ class ContinuousBatchingEngine:
             toks[b] = self.slots[b].pending
             active[b] = True
 
+        # Burst: K chained on-device steps, ONE host fetch at the end.
+        # K is bounded by the pool headroom of every active slot
+        # (finished-mid-burst slots keep appending junk until the burst
+        # ends) and by the longest remaining request. Sampling happens
+        # on device too (decode_sample_step carries the PRNG key), so
+        # temperature > 0 requests burst just like greedy ones.
+        remaining = max(self.slots[b].req.max_new_tokens
+                        - len(self.slots[b].generated)
+                        for b in active_idx)
+        headroom = min(self.quest.max_seq_len - int(self._hlens[b])
+                       for b in active_idx)
+        K = max(1, min(self.burst, remaining, headroom))
         greedy = all(self.slots[b].req.temperature <= 0.0
                      for b in active_idx)
+        act_dev = jnp.asarray(active)
+        tok = jnp.asarray(toks)
+        outs = []
         if greedy:
-            # Burst: K chained on-device steps, ONE host fetch at the
-            # end. K is bounded by the pool headroom of every active
-            # slot (finished-mid-burst slots keep appending junk until
-            # the burst ends) and by the longest remaining request.
-            remaining = max(self.slots[b].req.max_new_tokens
-                            - len(self.slots[b].generated)
-                            for b in active_idx)
-            headroom = min(self.quest.max_seq_len - int(self._hlens[b])
-                           for b in active_idx)
-            K = max(1, min(self.burst, remaining, headroom))
-            act_dev = jnp.asarray(active)
-            tok = jnp.asarray(toks)
-            outs = []
             for _ in range(K):
                 tok, self.cache = self._tok_fn(self.params, self.cache,
                                                tok, act_dev)
                 outs.append(tok)
-            arr = np.stack([np.asarray(t) for t in outs], axis=1)  # [B, K]
+        else:
+            temps = np.zeros((B,), np.float32)
             for b in active_idx:
-                self._hlens[b] += K
-            # Emit in token-time order (step-major) so cross-request
-            # finish ordering matches the unbatched semantics.
-            done = set()
-            for k in range(K):
-                for b in active_idx:
-                    if b in done:
-                        continue    # junk tail of the burst is dropped
-                    slot = self.slots[b]
-                    nxt = int(arr[b, k])
-                    slot.generated.append(nxt)
-                    slot.pending = nxt
-                    ev = self._maybe_finish(b, slot, nxt)
-                    events.append(ev)
-                    if ev.finished:
-                        done.add(b)
-            return events
-
-        logits, self.cache = self._decode_fn(
-            self.params, self.cache, jnp.asarray(toks),
-            jnp.asarray(active))
-        logits = np.asarray(logits)
-
+                temps[b] = max(self.slots[b].req.temperature, 0.0)
+            temps = jnp.asarray(temps)
+            for _ in range(K):
+                tok, self._key, self.cache = self._sample_fn(
+                    self.params, self.cache, tok, self._key, temps,
+                    act_dev)
+                outs.append(tok)
+        arr = np.stack([np.asarray(t) for t in outs], axis=1)  # [B, K]
         for b in active_idx:
-            slot = self.slots[b]
-            if slot is None:
-                continue
-            nxt = self._sample(logits[b], slot.req.temperature, slot.rng)
-            slot.generated.append(nxt)
-            slot.pending = nxt
-            self._hlens[b] += 1      # before finish (which resets to 0)
-            events.append(self._maybe_finish(b, slot, nxt))
+            self._hlens[b] += K
+        # Emit in token-time order (step-major) so cross-request
+        # finish ordering matches the unbatched semantics.
+        done = set()
+        for k in range(K):
+            for b in active_idx:
+                if b in done:
+                    continue        # junk tail of the burst is dropped
+                slot = self.slots[b]
+                nxt = int(arr[b, k])
+                slot.generated.append(nxt)
+                slot.pending = nxt
+                ev = self._maybe_finish(b, slot, nxt)
+                events.append(ev)
+                if ev.finished:
+                    done.add(b)
         return events
 
     def _maybe_finish(self, b: int, slot: _Slot, token: int) -> StepEvent:

@@ -287,3 +287,21 @@ class QuestModel:
         ``active`` as in decode_step (continuous-batching bursts)."""
         logits, cache = self.decode_step(params, cache, tokens, active)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    def decode_sample_step(self, params: Params, cache: PagedKVCache,
+                           tokens: jnp.ndarray, key: jax.Array,
+                           temps: jnp.ndarray,
+                           active: jnp.ndarray | None = None):
+        """decode_token_step with on-device per-request sampling:
+        rows with temps[b] > 0 draw from categorical(logits/temp), rows
+        with temps[b] <= 0 take the argmax. Returns
+        (next_tokens [B], new_key, cache) — the PRNG key is carried on
+        device so sampled serving bursts need no host round-trip."""
+        logits, cache = self.decode_step(params, cache, tokens, active)
+        key, sub = jax.random.split(key)
+        safe_t = jnp.where(temps > 0, temps, 1.0)[:, None]
+        drawn = jax.random.categorical(
+            sub, logits.astype(jnp.float32) / safe_t, axis=-1)
+        greedy = jnp.argmax(logits, axis=-1)
+        tok = jnp.where(temps > 0, drawn, greedy).astype(jnp.int32)
+        return tok, key, cache

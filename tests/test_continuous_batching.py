@@ -102,3 +102,28 @@ def test_eos_stops_early(setup):
     outs = engine.run([Request(uid=0, prompt=prompt, max_new_tokens=8,
                                eos_token_id=eos)])
     assert outs[0] == ref[:4]
+
+
+def test_sampled_requests_burst_on_device(setup):
+    """temperature > 0 requests ride the on-device sampling burst
+    (decode_sample_step): full streams, valid token range, and two
+    engines with different seeds diverge while identical seeds agree."""
+    cfg, quest, params = setup
+    rng = np.random.default_rng(9)
+    reqs = lambda: [Request(uid=i, prompt=rng2.integers(1, 200, size=12).tolist(),
+                            max_new_tokens=7, temperature=0.8)
+                    for i in range(4)]
+    rng2 = np.random.default_rng(9)
+    a = ContinuousBatchingEngine(cfg, quest, params, max_batch=2,
+                                 prefill_bucket=16, seed=0).run(reqs())
+    rng2 = np.random.default_rng(9)
+    b = ContinuousBatchingEngine(cfg, quest, params, max_batch=2,
+                                 prefill_bucket=16, seed=0).run(reqs())
+    rng2 = np.random.default_rng(9)
+    c = ContinuousBatchingEngine(cfg, quest, params, max_batch=2,
+                                 prefill_bucket=16, seed=1).run(reqs())
+    assert set(a) == {0, 1, 2, 3}
+    assert all(len(v) == 7 for v in a.values())
+    assert all(0 <= t < cfg.vocab_size for v in a.values() for t in v)
+    assert a == b                      # same seed -> reproducible
+    assert a != c                      # different seed -> diverges
