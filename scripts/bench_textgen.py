@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--decode-tokens", type=int, default=128)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--skip-layers", type=int, default=2)
+    ap.add_argument("--kv-dtype", default="bf16",
+                    choices=["bf16", "fp8"],
+                    help="KV-cache storage dtype (fp8 = e4m3; halves "
+                         "KV HBM, fits 32-layer models at 32K)")
     ap.add_argument("--quantize", type=int, default=0, choices=[0, 4, 8],
                     help="weight-only quantization bits (the reference's "
                          "2.23x e2e row uses 4-bit AWQ weights)")
@@ -76,18 +80,30 @@ def main():
     ctx = args.ctx if on_tpu else min(args.ctx, 1024)
     budget = ctx if args.budget == "full" else int(args.budget)
     # Room for ctx + warm-up and timed decode runs (2N tokens).
+    kv_dtype = (jnp.float8_e4m3fn if args.kv_dtype == "fp8"
+                else jnp.bfloat16)
     quest = QuestConfig(page_size=args.page, token_budget=budget,
                         max_seq_len=(ctx + 2 * args.decode_tokens
                                      + 2 + args.page),
-                        skip_layers=args.skip_layers)
+                        skip_layers=args.skip_layers,
+                        kv_dtype=kv_dtype)
     log(f"model={args.model} L={cfg.num_layers} Hq={cfg.num_heads} "
         f"Hkv={cfg.num_kv_heads} ctx={ctx} budget={budget} "
         f"backend={jax.default_backend()}")
 
-    params = init_params(cfg, jax.random.PRNGKey(0))
     if args.quantize:
+        # Initialize + quantize on the host CPU backend: full-size bf16
+        # params of a 32-layer model (~16 GB) would not fit HBM next to
+        # the KV pool; only the quantized weights ship to the chip.
         from quest_tpu.models.quantize import quantize_params
-        params = quantize_params(params, args.quantize)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            params = init_params(cfg, jax.random.PRNGKey(0))
+            params = quantize_params(params, args.quantize)
+        dev = jax.devices()[0]
+        params = jax.tree.map(lambda x: jax.device_put(x, dev), params)
+    else:
+        params = init_params(cfg, jax.random.PRNGKey(0))
     engine = QuestEngine(cfg, quest, params, batch_size=args.batch,
                          prefill_bucket=min(ctx, 2048))
 
@@ -122,7 +138,7 @@ def main():
     print(json.dumps({
         "model": args.model, "layers": cfg.num_layers, "ctx": ctx,
         "budget": budget, "batch": args.batch,
-        "quantize_bits": args.quantize,
+        "quantize_bits": args.quantize, "kv_dtype": args.kv_dtype,
         "prefill_ms": round(t_prefill * 1e3, 1),
         "decode_ms_per_token": round(t_decode * 1e3, 3),
         "decode_tokens_per_s": round(toks_per_s, 1),
