@@ -51,9 +51,19 @@ Params = Dict[str, Any]
 
 
 def init_params(cfg: ModelConfig, key: jax.Array,
-                dtype=None) -> Params:
-    """Random-initialized params (testing / benchmarking)."""
+                dtype=None, linear_wrap=None) -> Params:
+    """Random-initialized params (testing / benchmarking).
+
+    ``linear_wrap(name, w) -> leaf`` is applied to every linear weight
+    AT CREATION, one tensor at a time — with a quantizing wrap the bf16
+    tensor is freed immediately, so full-size (32-layer) models
+    initialize pre-quantized on device without ever materializing the
+    ~16 GB bf16 pytree in HBM (models/quantize.py:
+    init_params_quantized); a host->device push of the weights is not
+    an option here (bulk transfer through remote dispatch measured
+    <2 MB/s)."""
     dtype = dtype or cfg.dtype
+    lw = linear_wrap or (lambda name, w: w)
     L, H, Hkv, D = cfg.num_layers, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     hid, inter, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     ks = jax.random.split(key, 10)
@@ -65,18 +75,18 @@ def init_params(cfg: ModelConfig, key: jax.Array,
     params = {
         "embed": norm_init(ks[0], (V, hid), 1.0) * 0.02,
         "layers": {
-            "wq": norm_init(ks[1], (L, hid, H * D), hid),
-            "wk": norm_init(ks[2], (L, hid, Hkv * D), hid),
-            "wv": norm_init(ks[3], (L, hid, Hkv * D), hid),
-            "wo": norm_init(ks[4], (L, H * D, hid), H * D),
-            "w_gate": norm_init(ks[5], (L, hid, inter), hid),
-            "w_up": norm_init(ks[6], (L, hid, inter), hid),
-            "w_down": norm_init(ks[7], (L, inter, hid), inter),
+            "wq": lw("wq", norm_init(ks[1], (L, hid, H * D), hid)),
+            "wk": lw("wk", norm_init(ks[2], (L, hid, Hkv * D), hid)),
+            "wv": lw("wv", norm_init(ks[3], (L, hid, Hkv * D), hid)),
+            "wo": lw("wo", norm_init(ks[4], (L, H * D, hid), H * D)),
+            "w_gate": lw("w_gate", norm_init(ks[5], (L, hid, inter), hid)),
+            "w_up": lw("w_up", norm_init(ks[6], (L, hid, inter), hid)),
+            "w_down": lw("w_down", norm_init(ks[7], (L, inter, hid), inter)),
             "ln_attn": jnp.ones((L, hid), dtype),
             "ln_mlp": jnp.ones((L, hid), dtype),
         },
         "final_norm": jnp.ones((hid,), dtype),
-        "lm_head": norm_init(ks[8], (hid, V), hid),
+        "lm_head": lw("lm_head", norm_init(ks[8], (hid, V), hid)),
     }
     return params
 

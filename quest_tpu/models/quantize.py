@@ -84,6 +84,21 @@ def qdot(x: jnp.ndarray, w, dtype=None) -> jnp.ndarray:
     return x @ dequantize_weight(w, dtype)
 
 
+def init_params_quantized(cfg, key, bits: int = 8) -> Dict[str, Any]:
+    """Random-initialized params, quantized tensor-by-tensor AT
+    CREATION (models/llama.py:init_params ``linear_wrap``): peak HBM is
+    the quantized total plus ONE bf16 tensor, so full-size (32-layer)
+    models initialize directly on the chip."""
+    from quest_tpu.models.llama import init_params
+
+    def wrap(name, w):
+        if name in QUANT_KEYS or name == "lm_head":
+            return quantize_weight(w, bits)
+        return w
+
+    return init_params(cfg, key, linear_wrap=wrap)
+
+
 def quantize_params(params: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
     """Quantize every linear in the stacked-params pytree
     (models/llama.py layout). Embedding and norms stay in their dtype

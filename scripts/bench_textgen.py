@@ -92,16 +92,13 @@ def main():
         f"backend={jax.default_backend()}")
 
     if args.quantize:
-        # Initialize + quantize on the host CPU backend: full-size bf16
-        # params of a 32-layer model (~16 GB) would not fit HBM next to
-        # the KV pool; only the quantized weights ship to the chip.
-        from quest_tpu.models.quantize import quantize_params
-        cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(cpu):
-            params = init_params(cfg, jax.random.PRNGKey(0))
-            params = quantize_params(params, args.quantize)
-        dev = jax.devices()[0]
-        params = jax.tree.map(lambda x: jax.device_put(x, dev), params)
+        # Quantize tensor-by-tensor at creation: full-size bf16 params
+        # of a 32-layer model (~16 GB) can't coexist with the KV pool,
+        # and pushing weights from the host is no option either (bulk
+        # transfer through remote dispatch measured <2 MB/s).
+        from quest_tpu.models.quantize import init_params_quantized
+        params = init_params_quantized(cfg, jax.random.PRNGKey(0),
+                                       args.quantize)
     else:
         params = init_params(cfg, jax.random.PRNGKey(0))
     engine = QuestEngine(cfg, quest, params, batch_size=args.batch,
