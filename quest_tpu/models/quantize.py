@@ -76,12 +76,19 @@ def qdot(x: jnp.ndarray, w, dtype=None) -> jnp.ndarray:
     if not isinstance(w, QuantizedLinear):
         return x @ w
     dtype = dtype or x.dtype
+    # Barrier: without it XLA's scheduler may hoist every layer's
+    # dequantized bf16 weights to program start (they only depend on
+    # params), materializing the FULL bf16 model in HBM — observed as
+    # runtime OOM for 32-layer int4 models that statically fit with
+    # >6 GB to spare. Tying the packed weights to x forces just-in-time
+    # dequant and buffer reuse across layers.
+    wq, x = jax.lax.optimization_barrier((w.q, x))
     if w.bits == 4:
-        half = w.q.shape[-2]
-        lo = (((w.q << 4) >> 4).astype(jnp.float32) * w.s).astype(dtype)
-        hi = ((w.q >> 4).astype(jnp.float32) * w.s).astype(dtype)
+        half = wq.shape[-2]
+        lo = (((wq << 4) >> 4).astype(jnp.float32) * w.s).astype(dtype)
+        hi = ((wq >> 4).astype(jnp.float32) * w.s).astype(dtype)
         return x[..., :half] @ lo + x[..., half:] @ hi
-    return x @ dequantize_weight(w, dtype)
+    return x @ (wq.astype(jnp.float32) * w.s).astype(dtype)
 
 
 def init_params_quantized(cfg, key, bits: int = 8) -> Dict[str, Any]:
