@@ -118,3 +118,62 @@ def test_mixed_seq_lens_padded_prefill():
                                    want_min[b, :, :npages], rtol=1e-6)
         np.testing.assert_allclose(np.asarray(layer.k_max)[b, :, :npages],
                                    want_max[b, :, :npages], rtol=1e-6)
+
+
+def test_fp8_kv_cache_roundtrip_and_attention():
+    """fp8 (e4m3) KV storage (QuestConfig.kv_dtype): appends quantize
+    on write, attention kernels read fp8 pages directly; output matches
+    an oracle fed the same fp8-stored values (storage rounding is the
+    only error source)."""
+    from quest_tpu.ops.dense_decode import dense_decode_attention
+    from quest_tpu.ops.reference import (dense_decode_attention_reference,
+                                         sparse_decode_attention_reference)
+    from quest_tpu.ops.sparse_decode import sparse_decode_attention
+    from quest_tpu.ops.topk import select_pages
+    from quest_tpu.ops.estimate import page_scores
+
+    B, page_size, max_pages, H, D = 1, 8, 16, 2, 64
+    rng = np.random.default_rng(11)
+    quest = QuestConfig(page_size=page_size,
+                        max_seq_len=page_size * max_pages,
+                        token_budget=4 * page_size,
+                        kv_dtype=jnp.float8_e4m3fn)
+    model = ModelConfig(num_kv_heads=H, num_heads=H, head_dim=D)
+    cache = init_cache(model, quest, batch_size=B, num_layers=1)
+    layer = cache.layer(0)
+
+    T = 100
+    k = (rng.standard_normal((B, T, H, D)) * 0.3).astype(np.float32)
+    v = (rng.standard_normal((B, T, H, D)) * 0.3).astype(np.float32)
+    layer = append_prefill(layer, jnp.asarray(k), jnp.asarray(v))
+    assert layer.kv_pages.dtype == jnp.float8_e4m3fn
+
+    # Round-trip: stored pages match an fp8 cast of the inputs.
+    stored_k = np.asarray(
+        layer.kv_pages[0, :, :, 0].astype(jnp.float32))  # [H, P, page, D]
+    want_k = np.asarray(
+        jnp.asarray(k).astype(jnp.float8_e4m3fn).astype(jnp.float32))
+    got_flat = stored_k.transpose(1, 2, 0, 3).reshape(-1, H, D)[:T]
+    np.testing.assert_allclose(got_flat, want_k[0], rtol=0, atol=0)
+
+    seq = jnp.asarray([T], jnp.int32)
+    q = jnp.asarray((rng.standard_normal((B, H, D)) * 0.3).astype(np.float32))
+    sm = 1.0 / np.sqrt(D)
+    kf = layer.kv_pages[:, :, :, 0].astype(jnp.float32)
+    vf = layer.kv_pages[:, :, :, 1].astype(jnp.float32)
+
+    dense = dense_decode_attention(q, layer.kv_pages, seq, sm_scale=sm)
+    # oracle over the flat fp8-stored values
+    k_flat = kf.transpose(0, 1, 2, 3, 4).reshape(B, H, -1, D)[:, :, :T]
+    v_flat = vf.reshape(B, H, -1, D)[:, :, :T]
+    want = dense_decode_attention_reference(q, k_flat, v_flat, seq, sm)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(want),
+                               rtol=3e-3, atol=3e-3)
+
+    scores = page_scores(q, layer.k_max, layer.k_min)
+    idx, nv = select_pages(scores, seq, page_size, quest.page_budget)
+    sparse = sparse_decode_attention(q, layer.kv_pages, idx, nv, seq,
+                                     sm_scale=sm, pages_per_block=2)
+    want_s = sparse_decode_attention_reference(q, kf, vf, idx, nv, seq, sm)
+    np.testing.assert_allclose(np.asarray(sparse), np.asarray(want_s),
+                               rtol=3e-3, atol=3e-3)
