@@ -80,7 +80,19 @@ class QuestConfig:
     token_budget: int = 2048
     max_seq_len: int = 32768
     skip_layers: int = 2          # first N layers always run dense
-    group_agg: str = "max"        # how GQA groups combine page scores: max|sum
+    # How GQA groups combine page scores: "sum" | "max". Default "sum":
+    # better in 7/8 cells of the selection-deviation study
+    # (docs/gqa_selection.md) — sum approximates the group's total
+    # score mass, max over-weights one head's bound. MHA is unaffected.
+    group_agg: str = "sum"
+    # Page-selection granularity: "per_kv_head" (default — the GQA
+    # group shares one gathered page set; G-fold gather-bandwidth
+    # reuse, and at EQUAL bandwidth strictly more accurate than
+    # per-query-head selection at budget/G, docs/gqa_selection.md) or
+    # "per_q_head" (reference-faithful
+    # `/root/reference/quest/utils/controller.py:106,119`; each query
+    # head gathers its own budget of pages at G x the HBM traffic).
+    selection: str = "per_kv_head"
     kv_dtype: jnp.dtype = jnp.bfloat16
     # Storage dtype of the per-page min/max-Key metadata. None = same
     # as kv_dtype (paper-faithful). jnp.float8_e4m3fn halves the

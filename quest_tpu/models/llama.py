@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from quest_tpu.config import ModelConfig, QuestConfig
 from quest_tpu.kv.paged_kv import (PagedKVCache, append_decode_at,
                                    append_prefill_at)
-from quest_tpu.models.quantize import QuantizedLinear, dequantize_weight, qdot
+from quest_tpu.models.quantize import qdot
 from quest_tpu.ops.dense_decode import dense_decode_attention
 from quest_tpu.ops.estimate import page_scores
 from quest_tpu.ops.prefill import prefill_attention
@@ -240,11 +240,13 @@ class QuestModel:
             # that is ~17 GB, far beyond one chip's HBM.
             last = jnp.maximum(new_lens - 1, 0)                  # [B]
             x = jnp.take_along_axis(x, last[:, None, None], axis=1)
-        lm = params["lm_head"]
-        lm = (dequantize_weight(lm, jnp.float32)
-              if isinstance(lm, QuantizedLinear)
-              else lm.astype(jnp.float32))
-        logits = x.astype(jnp.float32) @ lm
+        # qdot (not an eager dequantize) so a quantized lm_head stays
+        # packed until the matmul: its optimization_barrier ties the
+        # weights to x, preventing XLA from hoisting a ~2 GB f32
+        # [hid, V] dequant to program start (the OOM mode documented at
+        # quantize.qdot).
+        logits = qdot(x.astype(jnp.float32), params["lm_head"],
+                      dtype=jnp.float32)
         if self.tp_axis is not None:  # vocab-sharded lm_head
             logits = jax.lax.all_gather(logits, self.tp_axis, axis=-1,
                                         tiled=True)

@@ -91,8 +91,10 @@ def _est_kernel(G: int, agg: str, q_ref, kmax_ref, kmin_ref, o_ref):
     qc = q_ref[0, 0]                       # [2*Gp, D]: rows 0..Gp relu(q),
     Gp = qc.shape[0] // 2                  # rows Gp.. min(q, 0)
     D = qc.shape[1]
-    kmax = kmax_ref[...].reshape(-1, D)    # [bp, D]
-    kmin = kmin_ref[...].reshape(-1, D)
+    # fp8 metadata streams at compressed width; upcast to the (bf16)
+    # query dtype post-load so the MXU sees a uniform operand pair.
+    kmax = kmax_ref[...].reshape(-1, D).astype(qc.dtype)   # [bp, D]
+    kmin = kmin_ref[...].reshape(-1, D).astype(qc.dtype)
     s = (jax.lax.dot_general(qc[:Gp], kmax, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
          + jax.lax.dot_general(qc[Gp:], kmin, (((1,), (1,)), ((), ())),
@@ -125,8 +127,13 @@ def page_scores_kernel(q, k_max, k_min, group_agg: str = "max",
 
     qf = q.astype(jnp.float32).reshape(B, Hkv, G, D)
     qf = jnp.pad(qf, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    # Sub-bf16 metadata (fp8 serving config) must not also quantize the
+    # QUERY: the einsum path upcasts both operands to f32, so keep q at
+    # bf16 here to stay within ~the metadata's own rounding error.
+    qdt = (k_max.dtype if jnp.dtype(k_max.dtype).itemsize >= 2
+           else jnp.bfloat16)
     qc = jnp.concatenate([jnp.maximum(qf, 0.0), jnp.minimum(qf, 0.0)],
-                         axis=2).astype(k_max.dtype)   # [B, Hkv, 2Gp, D]
+                         axis=2).astype(qdt)           # [B, Hkv, 2Gp, D]
 
     bp = max(1, min(block_p, P))
     while P % bp:

@@ -58,8 +58,8 @@ from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
 def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
-            meta_ref, idx_ref, lastslot_ref, q_ref, kv_hbm, o_ref,
-            kv_buf, sems, m_scr, l_scr, acc_scr):
+            kvdiv: int, meta_ref, idx_ref, lastslot_ref, q_ref, kv_hbm,
+            o_ref, kv_buf, sems, m_scr, l_scr, acc_scr):
     b = pl.program_id(0)
     t = pl.program_id(1)          # flattened (head, block) step
     B = pl.num_programs(0)
@@ -81,8 +81,11 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
         slot = ff % nslot
         for i in range(ppb):
             pid = idx_ref[bb, hh, blk * ppb + i]
+            # Per-q-head selection mode (kvdiv = G > 1): grid head hh is
+            # a QUERY head; its pages live under physical KV head
+            # hh // kvdiv (docs/gqa_selection.md).
             pltpu.make_async_copy(
-                kv_hbm.at[bb, hh, pid],
+                kv_hbm.at[bb, hh // kvdiv, pid],
                 kv_buf.at[slot, i],
                 sems.at[slot],
             ).start()
@@ -175,13 +178,14 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "pages_per_block",
                                              "num_slots", "interpret",
-                                             "layer"))
+                                             "layer", "per_q_head"))
 def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             seq_lens, *, sm_scale: float,
                             pages_per_block: int = 128,
                             num_slots: int = 3,
                             interpret: bool | None = None,
-                            layer: int | None = None):
+                            layer: int | None = None,
+                            per_q_head: bool = False):
     """Decode attention over selected pages.
 
     Args:
@@ -207,7 +211,15 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
     shp = kv_pages.shape if layer is None else kv_pages.shape[1:]
     _, Hkv, P, _, page, _ = shp
     S = indices.shape[-1]
-    G = Hq // Hkv
+    # per_q_head: indices are [B, Hq, S] (reference-faithful selection,
+    # `/root/reference/quest/utils/controller.py:106,119`); each grid
+    # head is a single query head reading KV head h // kvdiv — G x the
+    # gather traffic of the default shared selection.
+    if per_q_head:
+        kvdiv, G = Hq // Hkv, 1
+        Hkv = Hq
+    else:
+        kvdiv, G = 1, Hq // Hkv
 
     ppb = min(pages_per_block, S)
     if S % ppb != 0:  # pad slot axis; padded slots are >= num_valid
@@ -260,7 +272,8 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, ppb, page, layer, nb, num_slots),
+        functools.partial(_kernel, ppb, page, layer, nb, num_slots,
+                          kvdiv),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(

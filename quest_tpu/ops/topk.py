@@ -59,10 +59,12 @@ def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
         short rows (num_pages near or below the budget) PartialReduce
         bin collisions can drop valid pages and surface -inf slots
         below ``num_valid``, whose clamped ids would attend
-        uninitialized pool pages. Opt in per deployment
-        (QuestConfig.topk_method) only when the serving regime
-        guarantees long contexts; falls back to exact off-TPU or when
-        the pool is too small.
+        uninitialized pool pages. Guarded twice: statically (falls
+        back to exact off-TPU or when the pool is too small) and at
+        runtime (``lax.cond`` to exact whenever ANY row has
+        num_pages < 4*budget_pages — e.g. a freshly admitted short
+        sequence in a continuous-batching batch). Opt in per
+        deployment via QuestConfig.topk_method.
 
     Returns:
       indices: [B, H, K] int32 page ids; the selected *set* is
@@ -90,8 +92,19 @@ def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
                 and P >= 4 * budget_pages and P >= 256):
             method = "exact"
     if method == "approx":
-        _, indices = jax.lax.approx_max_k(s, budget_pages,
-                                          recall_target=0.95)
+        # Static pool size is necessary but not sufficient: soundness
+        # is per ROW (a freshly admitted short sequence in a
+        # continuous-batching batch has num_pages near the budget even
+        # though the pool is large). lax.cond runs only the taken
+        # branch, so a batch of all-long rows pays nothing extra and
+        # any short row forces the exact sort for that step.
+        all_rows_long = jnp.all(num_pages >= 4 * budget_pages)
+        _, indices = jax.lax.cond(
+            all_rows_long,
+            lambda x: jax.lax.approx_max_k(x, budget_pages,
+                                           recall_target=0.95),
+            lambda x: jax.lax.top_k(x, budget_pages),
+            s)
     else:
         _, indices = jax.lax.top_k(s, budget_pages)
     # Junk slots (>= num_valid) may name padded page ids beyond the pool;

@@ -105,7 +105,10 @@ def main():
              "pipeline"})
 
     def fb(x, y):  # scalar feedback so the loop body can't be elided
-        dep = jnp.tanh(jnp.sum(y.astype(jnp.float32))) * 1e-3
+        # sum(square(y)) — NOT sum(y): for linear stages (estimate) XLA
+        # rewrites reduce(dot) -> dot(reduce), eliding the HBM traffic
+        # being measured (see verify SKILL.md).
+        dep = jnp.tanh(jnp.sum(jnp.square(y.astype(jnp.float32)))) * 1e-3
         return (x + dep.astype(x.dtype)).astype(x.dtype)
 
     if "estimate" in want:

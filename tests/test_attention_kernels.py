@@ -148,6 +148,33 @@ def test_sparse_with_all_pages_equals_dense():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_sparse_decode_per_q_head_selection():
+    """``per_q_head=True``: reference-faithful per-QUERY-head page sets
+    (`/root/reference/quest/utils/controller.py:106,119`; indices
+    [B, Hq, S]) — checked against the oracle with each KV head expanded
+    to its G query heads, so every query head gets its own page set."""
+    rng = np.random.default_rng(3)
+    B, Hq, Hkv, D, page, P = 2, 8, 2, 64, 16, 9
+    G = Hq // Hkv
+    seq = jnp.asarray([int(P * page - 5), 70])
+    kv_pages, k_pages, v_pages = make_packed(rng, B, Hkv, P, page, D)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    sm = 1.0 / np.sqrt(D)
+
+    scores = jnp.asarray(rng.standard_normal((B, Hq, P)).astype(np.float32))
+    idx, num_valid = select_pages(scores, seq, page, 4)
+
+    k_exp = jnp.repeat(k_pages, G, axis=1)
+    v_exp = jnp.repeat(v_pages, G, axis=1)
+    want = sparse_decode_attention_reference(q, k_exp, v_exp, idx,
+                                             num_valid, seq, sm)
+    got = sparse_decode_attention(q, kv_pages, idx, num_valid, seq,
+                                  sm_scale=sm, pages_per_block=2,
+                                  per_q_head=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("T,offset,Hq,Hkv,D,bq,bk", [
     (33, 0, 4, 4, 64, 16, 32),       # fresh prefill, ragged T
     (64, 0, 4, 2, 64, 32, 32),       # GQA

@@ -83,6 +83,29 @@ def test_topk_short_sequence_selects_all_pages():
         assert set(np.asarray(idx)[0, h, :4].tolist()) == {0, 1, 2, 3}
 
 
+def test_topk_approx_mixed_batch_matches_exact_set():
+    """A batch mixing long rows with a short row (num_pages near the
+    budget) must select the same page SET under method="approx" as
+    under "exact": the runtime lax.cond guard forces the exact sort
+    whenever any row is short (ADVICE r1; bin collisions in
+    approx_max_k would otherwise drop valid pages of the short row).
+    Off-TPU approx statically falls back to exact; on TPU this
+    exercises the cond path."""
+    rng = np.random.default_rng(9)
+    B, H, P, page, K = 2, 4, 1024, 16, 128
+    scores = jnp.asarray(rng.standard_normal((B, H, P)).astype(np.float32))
+    # Row 0 long (1024 pages >> 4*128); row 1 short (130 pages ~ budget).
+    seq_lens = jnp.asarray([P * page, 130 * page - 3], jnp.int32)
+    ex_idx, ex_nv = select_pages(scores, seq_lens, page, K, method="exact")
+    ap_idx, ap_nv = select_pages(scores, seq_lens, page, K, method="approx")
+    np.testing.assert_array_equal(np.asarray(ex_nv), np.asarray(ap_nv))
+    for b in range(B):
+        nv = int(ex_nv[b])
+        for h in range(H):
+            assert (set(np.asarray(ap_idx)[b, h, :nv].tolist())
+                    == set(np.asarray(ex_idx)[b, h, :nv].tolist()))
+
+
 def test_pallas_estimate_kernel_matches_einsum():
     from quest_tpu.ops.estimate import page_scores_kernel
     rng = np.random.default_rng(4)
