@@ -1,11 +1,14 @@
 """Raw HBM->VMEM DMA bandwidth probe.
 
-Usage: python exp/dma_probe.py MODE CHUNK_KB NSLOT [TOTAL_MB]
+Usage: python exp/dma_probe.py MODE CHUNK_KB NSLOT [TOTAL_MB] [NSEM]
   MODE: contig | gather | gather_hi
 contig:   stream TOTAL_MB contiguously in CHUNK_KB chunks, NSLOT ring.
 gather:   same bytes, but chunks picked by a random page permutation
           (8 KB pages) -- CHUNK_KB//8 descriptors per chunk-slot.
 gather_hi: gather with priority=0 on DMA start.
+NSEM > 1 stripes each chunk across NSEM semaphores (contiguous
+page ranges per semaphore) — probes whether distinct semaphores map
+to distinct DMA queues/engines.
 
 Prints: `MODE chunk nslot us GB/s`.
 """
@@ -20,6 +23,7 @@ def main():
     chunk_kb = int(sys.argv[2])
     nslot = int(sys.argv[3])
     total_mb = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    nsem = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     import os
     import jax
@@ -43,6 +47,9 @@ def main():
     hi = mode == "gather_hi"
     is_gather = mode.startswith("gather")
 
+    assert pages_per_chunk % nsem == 0
+    pps = pages_per_chunk // nsem            # pages per semaphore
+
     def kernel(idx_ref, x_hbm, o_ref, buf, sems, acc):
         def start(c):
             slot = c % nslot
@@ -50,15 +57,19 @@ def main():
                 for i in range(pages_per_chunk):
                     pid = idx_ref[c * pages_per_chunk + i]
                     cp = pltpu.make_async_copy(
-                        x_hbm.at[pid], buf.at[slot, i], sems.at[slot])
+                        x_hbm.at[pid], buf.at[slot, i],
+                        sems.at[slot, i // pps])
                     if hi:
                         cp.start(priority=0)
                     else:
                         cp.start()
             else:
-                pltpu.make_async_copy(
-                    x_hbm.at[pl.ds(c * pages_per_chunk, pages_per_chunk)],
-                    buf.at[slot], sems.at[slot]).start()
+                for s in range(nsem):
+                    pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(c * pages_per_chunk + s * pps,
+                                       pps)],
+                        buf.at[slot, pl.ds(s * pps, pps)],
+                        sems.at[slot, s]).start()
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -71,8 +82,10 @@ def main():
         def _():
             start(c + nslot - 1)
         slot = c % nslot
-        pltpu.make_async_copy(buf.at[slot], buf.at[slot],
-                              sems.at[slot]).wait()
+        for s in range(nsem):
+            pltpu.make_async_copy(buf.at[slot, pl.ds(s * pps, pps)],
+                                  buf.at[slot, pl.ds(s * pps, pps)],
+                                  sems.at[slot, s]).wait()
         acc[...] += buf[slot, 0, :8, :].astype(jnp.float32)
 
         @pl.when(c == nchunk - 1)
@@ -92,7 +105,7 @@ def main():
                 scratch_shapes=[
                     pltpu.VMEM((nslot, pages_per_chunk, PAGE // 128, 128),
                                jnp.bfloat16),
-                    pltpu.SemaphoreType.DMA((nslot,)),
+                    pltpu.SemaphoreType.DMA((nslot, nsem)),
                     pltpu.VMEM((8, 128), jnp.float32),
                 ],
             ),
@@ -115,7 +128,7 @@ def main():
         first = order[::pages_per_chunk]  # page 0 of each chunk
         want = xs[first, :8, :].astype(np.float32).sum(0)
         ok = np.allclose(out, want, rtol=1e-2, atol=1e-2)
-        print(f"{mode} chunk={chunk_kb}KB nslot={nslot} interpret "
+        print(f"{mode} chunk={chunk_kb}KB nslot={nslot} nsem={nsem} interpret "
               f"{'OK' if ok else 'MISMATCH'}", flush=True)
         return
 
@@ -127,7 +140,7 @@ def main():
     q0 = jnp.zeros((8, 128), jnp.float32)
     t = bench_op(step, q0, iters=(4, 24), reps=4, env=x)
     nbytes = total * 2
-    print(f"{mode} chunk={chunk_kb}KB nslot={nslot} {t*1e6:.1f} us "
+    print(f"{mode} chunk={chunk_kb}KB nslot={nslot} nsem={nsem} {t*1e6:.1f} us "
           f"{nbytes/t/1e9:.0f} GB/s", flush=True)
 
 

@@ -50,7 +50,13 @@ def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
         faster sparse attention for ~3 us of sort (junk slots stay at
         the tail, so slot-position masking is unaffected).
       method: "exact" (default) = ``lax.top_k`` (lowers to a full
-        variadic sort on TPU, ~48 us at 32 heads x 2048 pages).
+        variadic sort on TPU, ~27 us at 32 heads x 2048 pages).
+        "exact_fast" = verified-exact: ``approx_max_k`` plus an
+        exactness certificate (count(s >= min returned score) must
+        equal K per row+head) with a ``lax.cond`` fallback to the full
+        sort when the certificate fails — exact top-K semantics at
+        ~2x the speed on long rows. Falls back statically like
+        "approx" when the pool is small or off-TPU.
         "approx" = ``lax.approx_max_k`` (TPU PartialReduce, ~15 us,
         recall_target 0.95 — measured recall 1.0 on long-context score
         distributions, mirroring the reference's fp16 radix top-k tie
@@ -84,14 +90,40 @@ def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
     page_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1, P), 2)
     s = jnp.where(page_ids < num_pages[:, None, None], scores, _NEG_INF)
     s = jnp.where(page_ids == last_page[:, None, None], _POS_INF, s)
-    if method == "approx":
+    if method in ("approx", "exact_fast"):
         # The +inf last page always survives the reduction (it wins
         # its bin), so forced inclusion is preserved. Fall back to
         # exact when approx cannot help (small pool or off-TPU).
         if not (jax.default_backend() == "tpu"
                 and P >= 4 * budget_pages and P >= 256):
             method = "exact"
-    if method == "approx":
+    if method == "exact_fast":
+        # Verified-exact selection: run the fast approx reduction, then
+        # certify it. Let thr = min score among the K returned slots.
+        # If count(s >= thr) == K for every row+head, the returned slots
+        # are provably THE top-K set (all elements >= thr, and there
+        # are exactly K of them); otherwise (a dropped entry or a score
+        # tie at the boundary) lax.cond re-runs the full exact sort.
+        # Cost on the happy path: approx_max_k (~15 us at [32, 2048])
+        # plus one masked reduce — ~2x faster than lax.top_k, with
+        # identical output semantics. The reference's fp16 radix
+        # select also resolves boundary ties arbitrarily
+        # (`decode_select_k.cuh:26-62`).
+        av, ai = jax.lax.approx_max_k(s, budget_pages,
+                                      recall_target=0.95)
+        slot = jax.lax.broadcasted_iota(jnp.int32, ai.shape, 2)
+        nv = jnp.minimum(jnp.int32(budget_pages), num_pages)
+        real = slot < nv[:, None, None]
+        thr = jnp.min(jnp.where(real, av, _POS_INF), axis=-1,
+                      keepdims=True)                     # [B, H, 1]
+        n_ge = jnp.sum((s >= thr).astype(jnp.int32), axis=-1)  # [B, H]
+        certified = jnp.all(n_ge == nv[:, None])
+        _, indices = jax.lax.cond(
+            certified,
+            lambda x: (av, ai),
+            lambda x: jax.lax.top_k(x, budget_pages),
+            s)
+    elif method == "approx":
         # Static pool size is necessary but not sufficient: soundness
         # is per ROW (a freshly admitted short sequence in a
         # continuous-batching batch has num_pages near the budget even

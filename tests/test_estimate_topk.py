@@ -106,6 +106,26 @@ def test_topk_approx_mixed_batch_matches_exact_set():
                     == set(np.asarray(ex_idx)[b, h, :nv].tolist()))
 
 
+def test_topk_exact_fast_matches_exact_set():
+    """"exact_fast" (approx_max_k + exactness certificate + cond
+    fallback) must return the same page SET as "exact" — its
+    certificate guarantees it; on TPU this exercises the certified
+    branch, off-TPU the static fallback."""
+    rng = np.random.default_rng(17)
+    B, H, P, page, K = 2, 4, 1024, 16, 128
+    scores = jnp.asarray(rng.standard_normal((B, H, P)).astype(np.float32))
+    seq_lens = jnp.asarray([P * page, 517 * page - 5], jnp.int32)
+    ex_idx, ex_nv = select_pages(scores, seq_lens, page, K, method="exact")
+    ef_idx, ef_nv = select_pages(scores, seq_lens, page, K,
+                                 method="exact_fast")
+    np.testing.assert_array_equal(np.asarray(ex_nv), np.asarray(ef_nv))
+    for b in range(B):
+        nv = int(ex_nv[b])
+        for h in range(H):
+            assert (set(np.asarray(ef_idx)[b, h, :nv].tolist())
+                    == set(np.asarray(ex_idx)[b, h, :nv].tolist()))
+
+
 def test_pallas_estimate_kernel_matches_einsum():
     from quest_tpu.ops.estimate import page_scores_kernel
     rng = np.random.default_rng(4)
