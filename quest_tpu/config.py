@@ -105,6 +105,13 @@ class QuestConfig:
     # every sequence's page count is far above the budget — see
     # ops/topk.py:select_pages for the failure mode on short rows.
     topk_method: str = "exact"
+    # Physical-pool allocation granularity, in pages. The shared data
+    # pool (kv/paged_kv.py) is handed out in blocks of this many
+    # CONTIGUOUS pages, so the per-slot page table is tiny
+    # (max_pages/block_pages entries) and the dense/prefill kernels
+    # stream whole blocks through one table lookup. 64 pages = 1024
+    # tokens per block: at most one partially-used block per sequence.
+    block_pages: int = 64
 
     @property
     def resolved_meta_dtype(self):
@@ -117,11 +124,13 @@ class QuestConfig:
 
     @property
     def max_pages(self) -> int:
-        """Pool size in pages, rounded up to a multiple of 64 so the
-        dense/prefill kernels' page-block tiling divides evenly (extra
-        pages are never addressed; cost is <~3% pool memory)."""
+        """Per-sequence logical page-table size, rounded up to a
+        multiple of the allocation block (>= 64 so the dense/prefill
+        kernels' page-block tiling divides evenly; extra pages are never
+        addressed; cost is <~3% of the logical space)."""
         p = (self.max_seq_len + self.page_size - 1) // self.page_size
-        return ((p + 63) // 64) * 64
+        m = max(64, self.block_pages)
+        return ((p + m - 1) // m) * m
 
 
 # ---------------------------------------------------------------------------

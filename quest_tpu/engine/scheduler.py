@@ -1,26 +1,31 @@
-"""Continuous batching scheduler.
+"""Continuous batching scheduler over a shared physical page pool.
 
 The reference is strictly batch-size-1 (`assert bsz == 1`,
-`/root/reference/quest/models/QuestAttention.py:68`); multi-request
+`/root/reference/quest/models/QuestAttention.py:68`) and shares one
+physical pool across sequences via per-seq page lists
+(`/root/reference/quest/utils/kv_cache.py:7-133`); multi-request
 serving is a new first-class component of the TPU build (SURVEY.md
 §2.4). Design:
 
   * The paged pool has ``max_batch`` **slots** with independent
     ``seq_lens`` — all shapes static, so slot occupancy never triggers
-    recompilation.
-  * A **tick** is either one whole-batch decode step (idle slots ride
-    along masked-inactive and do not advance — models/llama.py
-    ``decode_step(active=...)``) or one prefill step that admits queued
-    requests into free slots (busy slots pass ``new_lens=0`` and are
-    untouched: prefill scratch lands in their garbage region beyond
-    ``seq_len``, see kv/paged_kv.py invariant).
-  * Finished slots are recycled by zeroing their ``seq_lens`` entry —
-    the pool itself is reused (the `quest_clear()` analogue,
+    recompilation. Slots map logical pages onto the SHARED physical
+    pool through per-slot block tables (kv/paged_kv.py): pool capacity
+    is set by ``total_pages``, independent of max_batch × max_seq_len.
+  * Physical blocks are managed by the native **PagePool** allocator
+    (kv/pool.py, csrc/pagepool.cpp) at ``block_pages``-page
+    granularity. A request's full need (prompt + max_new_tokens) is
+    reserved at admission, so an admitted request can never hit pool
+    exhaustion mid-stream (deadlock-free by construction); admission
+    is FIFO-deferred while blocks are short.
+  * **Chunked prefill**: prompts are written in ``prefill_chunk``-token
+    chunks, interleaved with decode bursts, so a long prompt never
+    stalls active decode streams (vLLM-style). Busy rows ride every
+    tick masked-inactive: their writes are routed to the reserved
+    scratch block (block 0) and cannot touch pages owned by anyone.
+  * Finished slots release their blocks back to the allocator and
+    reset their table row to scratch (the `quest_clear()` analogue,
     `/root/reference/quest/models/llama.py:554-560`).
-
-This is non-chunked continuous batching: admissions happen between
-decode steps, like early vLLM. Per-request sampling params are applied
-host-side on the returned logits.
 
 Greedy requests decode in **bursts**: ``burst`` chained on-device
 dispatches (argmax token fed straight back, cache donated) per host
@@ -30,8 +35,8 @@ that finishes mid-burst over-generates into its slot until the burst
 ends; the junk is trimmed host-side and the slot (recycled to
 seq_len 0) never exposes it. Sampled requests burst too: the PRNG key
 rides on device (models/llama.py:decode_sample_step); only the first
-token of each request (at admission) is sampled host-side from the
-prefill logits.
+token of each request (at prompt completion) is sampled host-side from
+the prefill logits.
 """
 
 from __future__ import annotations
@@ -46,6 +51,7 @@ import numpy as np
 
 from quest_tpu.config import ModelConfig, QuestConfig
 from quest_tpu.kv.paged_kv import init_cache
+from quest_tpu.kv.pool import PagePool
 from quest_tpu.models.llama import Params, QuestModel
 from quest_tpu.ops.pallas_utils import round_up as _round_up
 
@@ -63,8 +69,14 @@ class Request:
 class _Slot:
     req: Request
     generated: List[int]
-    pending: int              # next token to feed
+    pending: int              # next token to feed (decode phase)
     rng: np.random.Generator
+    sid: int                  # PagePool sequence id
+    prefill_pos: int          # prompt tokens written so far
+
+    @property
+    def prefilling(self) -> bool:
+        return self.prefill_pos < len(self.req.prompt)
 
 
 @dataclasses.dataclass
@@ -75,19 +87,47 @@ class StepEvent:
 
 
 class ContinuousBatchingEngine:
-    """Serve many requests through a fixed-capacity slot pool."""
+    """Serve many requests through a fixed-capacity slot pool.
+
+    ``total_pages``: physical pool size in pages (+1 scratch block is
+    added internally). Default = max_batch × max_pages (full static
+    reservation). Set it smaller to oversubscribe: admission then
+    waits for blocks, and max_batch × max_seq_len may exceed pool
+    capacity.
+
+    ``prefill_chunk``: max prompt tokens written per prefill tick
+    (rounded up to ``prefill_bucket``). None = whole prompt in one
+    tick. Chunked admission interleaves one prefill tick with each
+    decode burst so long prompts do not stall active streams.
+    """
 
     def __init__(self, cfg: ModelConfig, quest: QuestConfig, params: Params,
                  max_batch: int = 4, prefill_bucket: int = 256,
-                 seed: int = 0, burst: int = 16):
+                 seed: int = 0, burst: int = 16,
+                 total_pages: Optional[int] = None,
+                 prefill_chunk: Optional[int] = None):
         self.cfg = cfg
         self.quest = quest
         self.params = params
         self.max_batch = max_batch
         self.prefill_bucket = prefill_bucket
         self.burst = max(1, burst)
+        self.prefill_chunk = prefill_chunk
         self.model = QuestModel(cfg, quest)
-        self.cache = init_cache(cfg, quest, max_batch)
+        bpp = min(quest.block_pages, quest.max_pages)
+        self.block_tokens = bpp * quest.page_size
+        if total_pages is None:
+            total_pages = max_batch * quest.max_pages
+        self.cache = init_cache(cfg, quest, max_batch,
+                                total_pages=bpp + total_pages)
+        # All table rows start at scratch; the allocator owns the rest.
+        self.cache = dataclasses.replace(
+            self.cache,
+            block_tab=jnp.zeros_like(self.cache.block_tab))
+        n_blocks = self.cache.num_phys_pages // bpp - 1   # minus scratch
+        self.pool = PagePool(n_blocks, self.block_tokens,
+                             max_seqs=max_batch)
+        self._table_width = self.cache.block_tab.shape[1]
         self._prefill_fn = jax.jit(self.model.prefill_last,
                                    donate_argnums=(1,))
         self._tok_fn = jax.jit(self.model.decode_token_step,
@@ -98,14 +138,24 @@ class ContinuousBatchingEngine:
         self.queue: deque[Request] = deque()
         self._seed = seed
         self._key = jax.random.PRNGKey(seed)
-        # Host mirror of per-slot lengths: admission headroom and burst
-        # bounds without device fetches.
+        # Host mirror of per-slot lengths: burst bounds without device
+        # fetches.
         self._hlens = np.zeros((max_batch,), np.int64)
+        self._prefer_prefill = True
+        self.last_tick: Optional[str] = None   # introspection for tests
 
     # ------------------------------------------------------------------
+    def _blocks_needed(self, req: Request) -> int:
+        return -(-(len(req.prompt) + req.max_new_tokens)
+                 // self.block_tokens)
+
     def submit(self, req: Request) -> None:
         if len(req.prompt) + req.max_new_tokens > self.quest.max_seq_len:
             raise ValueError(f"request {req.uid} exceeds max_seq_len")
+        if self._blocks_needed(req) > self.pool.total_pages:
+            raise ValueError(
+                f"request {req.uid} needs {self._blocks_needed(req)} "
+                f"blocks; pool holds {self.pool.total_pages}")
         self.queue.append(req)
 
     @property
@@ -116,94 +166,117 @@ class ContinuousBatchingEngine:
         return bool(self.queue) or self.num_active > 0
 
     # ------------------------------------------------------------------
-    def _admit(self) -> List[StepEvent]:
-        """Move queued requests into free slots via one prefill tick.
-
-        Admission is deferred while any BUSY slot lacks ``T`` tokens of
-        pool headroom: the whole-batch prefill writes ``T`` scratch
-        tokens beyond every busy slot's ``seq_len``, and past the pool
-        end the clamped window write would corrupt its valid tokens.
-        Busy slots always finish (max_new_tokens is bounded), so
-        deferral cannot deadlock.
+    def _admit_slots(self) -> None:
+        """Move queued requests into free slots (bookkeeping only; the
+        prompt is written by subsequent prefill ticks). FIFO: a large
+        request short on blocks also blocks later ones (no starvation).
         """
         free = [b for b, s in enumerate(self.slots) if s is None]
-        if not free or not self.queue:
-            return []
-        pool_tokens = self.quest.max_pages * self.quest.page_size
-        busy_max = max((int(self._hlens[b])
-                        for b, s in enumerate(self.slots) if s is not None),
-                      default=0)
-        headroom = pool_tokens - busy_max
-        admits: List[tuple] = []
         while free and self.queue:
-            T_next = _round_up(len(self.queue[0].prompt),
-                               self.prefill_bucket)
-            if T_next > headroom:
+            req = self.queue[0]
+            if self._blocks_needed(req) * self.block_tokens > (
+                    self.pool.free_pages() * self.block_tokens):
                 break
-            admits.append((free.pop(0), self.queue.popleft()))
-        if not admits:
-            return []
+            self.queue.popleft()
+            b = free.pop(0)
+            sid = self.pool.seq_create()
+            # Reserve the FULL need up front: admitted requests never
+            # wait for memory again.
+            self.pool.seq_extend(sid, len(req.prompt) + req.max_new_tokens)
+            raw, _ = self.pool.fill_batch_tables([sid], self._table_width,
+                                                 pad_page=-1)
+            row = np.where(raw[0] < 0, 0, raw[0] + 1).astype(np.int32)
+            rng = np.random.default_rng(self._seed * 7919 + req.uid)
+            self.slots[b] = _Slot(req=req, generated=[], pending=-1,
+                                  rng=rng, sid=sid, prefill_pos=0)
+            self._hlens[b] = 0
+            self.cache = dataclasses.replace(
+                self.cache,
+                block_tab=self.cache.block_tab.at[b].set(jnp.asarray(row)),
+                seq_lens=self.cache.seq_lens.at[b].set(0))
 
+    # ------------------------------------------------------------------
+    def _prefill_tick(self) -> List[StepEvent]:
+        """Write one prompt chunk for every prefilling slot."""
+        pf = [b for b, s in enumerate(self.slots)
+              if s is not None and s.prefilling]
+        if not pf:
+            return []
         B = self.max_batch
-        max_len = max(len(r.prompt) for _, r in admits)
-        T = _round_up(max_len, self.prefill_bucket)
+        chunk = self.prefill_chunk or max(
+            len(self.slots[b].req.prompt) - self.slots[b].prefill_pos
+            for b in pf)
+        T = _round_up(
+            max(min(chunk,
+                    len(self.slots[b].req.prompt) - self.slots[b].prefill_pos)
+                for b in pf),
+            self.prefill_bucket)
         toks = np.zeros((B, T), np.int32)
         new_lens = np.zeros((B,), np.int32)
-        # Free the admitted slots' previous state (the quest_clear
-        # analogue), then prefill at offset 0.
-        for b, req in admits:
-            toks[b, : len(req.prompt)] = req.prompt
-            new_lens[b] = len(req.prompt)
-            self._hlens[b] = len(req.prompt)
-        reset = np.asarray([b for b, _ in admits], np.int32)
-        self.cache = dataclasses.replace(
-            self.cache,
-            seq_lens=self.cache.seq_lens.at[reset].set(0))
-
+        for b in pf:
+            s = self.slots[b]
+            n = min(T, len(s.req.prompt) - s.prefill_pos)
+            toks[b, :n] = s.req.prompt[s.prefill_pos:s.prefill_pos + n]
+            new_lens[b] = n
         logits, self.cache = self._prefill_fn(
             self.params, self.cache, jnp.asarray(toks),
             jnp.asarray(new_lens))
         logits = np.asarray(logits)
 
         events: List[StepEvent] = []
-        for b, req in admits:
-            rng = np.random.default_rng(self._seed * 7919 + req.uid)
-            first = self._sample(logits[b, 0], req.temperature, rng)
-            slot = _Slot(req=req, generated=[first], pending=first, rng=rng)
-            self.slots[b] = slot
-            events.append(self._maybe_finish(b, slot, first))
+        for b in pf:
+            s = self.slots[b]
+            s.prefill_pos += int(new_lens[b])
+            self._hlens[b] += int(new_lens[b])
+            if not s.prefilling:  # prompt complete -> first token
+                first = self._sample(logits[b, 0], s.req.temperature, s.rng)
+                s.generated.append(first)
+                s.pending = first
+                events.append(self._maybe_finish(b, s, first))
         return events
 
     # ------------------------------------------------------------------
     def step(self) -> List[StepEvent]:
         """One scheduler tick; returns per-request token events."""
-        events = self._admit()
+        self._admit_slots()
+        prefilling = [b for b, s in enumerate(self.slots)
+                      if s is not None and s.prefilling]
+        decoding = [b for b, s in enumerate(self.slots)
+                    if s is not None and not s.prefilling]
 
-        active_idx = [b for b, s in enumerate(self.slots) if s is not None]
-        if not active_idx:
-            return events
+        # Alternate prefill chunks and decode bursts so neither phase
+        # starves the other.
+        if prefilling and (self._prefer_prefill or not decoding):
+            self._prefer_prefill = False
+            self.last_tick = "prefill"
+            return self._prefill_tick()
+        self._prefer_prefill = True
+        if not decoding:
+            self.last_tick = None
+            return []
+        self.last_tick = "decode"
 
         B = self.max_batch
         toks = np.zeros((B,), np.int32)
         active = np.zeros((B,), bool)
-        for b in active_idx:
+        for b in decoding:
             toks[b] = self.slots[b].pending
             active[b] = True
 
         # Burst: K chained on-device steps, ONE host fetch at the end.
-        # K is bounded by the pool headroom of every active slot
+        # K is bounded by the logical headroom of every decoding slot
         # (finished-mid-burst slots keep appending junk until the burst
         # ends) and by the longest remaining request. Sampling happens
         # on device too (decode_sample_step carries the PRNG key), so
         # temperature > 0 requests burst just like greedy ones.
         remaining = max(self.slots[b].req.max_new_tokens
                         - len(self.slots[b].generated)
-                        for b in active_idx)
+                        for b in decoding)
         headroom = min(self.quest.max_seq_len - int(self._hlens[b])
-                       for b in active_idx)
+                       for b in decoding)
         K = max(1, min(self.burst, remaining, headroom))
         greedy = all(self.slots[b].req.temperature <= 0.0
-                     for b in active_idx)
+                     for b in decoding)
         act_dev = jnp.asarray(active)
         tok = jnp.asarray(toks)
         outs = []
@@ -214,7 +287,7 @@ class ContinuousBatchingEngine:
                 outs.append(tok)
         else:
             temps = np.zeros((B,), np.float32)
-            for b in active_idx:
+            for b in decoding:
                 temps[b] = max(self.slots[b].req.temperature, 0.0)
             temps = jnp.asarray(temps)
             for _ in range(K):
@@ -223,13 +296,14 @@ class ContinuousBatchingEngine:
                     act_dev)
                 outs.append(tok)
         arr = np.stack([np.asarray(t) for t in outs], axis=1)  # [B, K]
-        for b in active_idx:
+        for b in decoding:
             self._hlens[b] += K
         # Emit in token-time order (step-major) so cross-request
         # finish ordering matches the unbatched semantics.
+        events: List[StepEvent] = []
         done = set()
         for k in range(K):
-            for b in active_idx:
+            for b in decoding:
                 if b in done:
                     continue        # junk tail of the burst is dropped
                 slot = self.slots[b]
@@ -249,10 +323,13 @@ class ContinuousBatchingEngine:
                     and token == req.eos_token_id))
         if done:
             self.slots[b] = None
-            # Recycle the slot: pool reused, fill pointer reset.
+            # Recycle: blocks back to the allocator, table row to
+            # scratch, fill pointer reset.
+            self.pool.seq_release(slot.sid)
             self._hlens[b] = 0
             self.cache = dataclasses.replace(
                 self.cache,
+                block_tab=self.cache.block_tab.at[b].set(0),
                 seq_lens=self.cache.seq_lens.at[b].set(0))
         return StepEvent(uid=req.uid, token=token, finished=done)
 

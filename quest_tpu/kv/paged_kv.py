@@ -26,10 +26,19 @@ TPU-first redesign:
     host planning, unlike the reference's `begin_forward` re-uploading
     index tensors every token (`controller.py:80-129`).
 
-Invariant: garbage data only ever exists at token positions ``>= seq_len``
-(inside the last partial page or in untouched pages); every consumer masks
-by ``seq_len``, and metadata for valid pages is computed over valid
-entries only.
+Invariants:
+  * Garbage data only ever exists at token positions ``>= seq_len``
+    (inside the last partial page, in untouched pages, or in the scratch
+    block); every consumer masks by ``seq_len``, and metadata for valid
+    pages is computed over valid entries only.
+  * **The pool never contains non-finite values.** Score-masking alone
+    cannot defend against NaN/inf garbage: a masked lane contributes
+    ``0 x V`` to the output, and ``0 x NaN = NaN``. Inactive batch rows
+    DO produce NaN activations (attention over zero valid keys is
+    0/0), and their K/V writes land in the shared scratch block that
+    other slots' masked lanes read. Every append therefore routes K/V
+    through :func:`_finite` (non-finite -> 0); the pool starts zeroed,
+    so the invariant holds inductively.
 """
 
 from __future__ import annotations
@@ -44,15 +53,40 @@ from quest_tpu.config import ModelConfig, QuestConfig
 K, V = 0, 1      # kv_pages axis -3
 
 
+def _finite(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero out non-finite lanes (see module invariant). Identity for
+    real data; negligible VPU cost next to the attention kernels."""
+    return jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PagedKVCache:
-    """Whole-model paged KV state (a pytree; donate it through jit)."""
+    """Whole-model paged KV state (a pytree; donate it through jit).
 
-    kv_pages: jnp.ndarray  # [L, B, Hkv, P, 2, page, D]
-    k_max: jnp.ndarray     # [L, B, Hkv, P, D]
-    k_min: jnp.ndarray     # [L, B, Hkv, P, D]
-    seq_lens: jnp.ndarray  # [B] int32 — tokens currently stored
+    The DATA pool is physically shared across batch slots (the
+    reference shares one pool via per-seq page lists,
+    `kv_cache.py:7-133`): ``kv_pages`` has no batch axis; each slot
+    maps its logical pages onto physical pages through ``block_tab``
+    at **block** granularity (``block_pages`` contiguous pages per
+    allocation, config.py). Physical page of logical page ``p`` of
+    slot ``b`` is ``block_tab[b, p // bpp] * bpp + p % bpp``.
+
+    Physical block 0 is RESERVED as scratch: table rows of empty /
+    released slots point at it, so masked writes (inactive decode
+    rows, padded prefill rows) can never touch pages owned by another
+    sequence. Allocators hand out blocks 1..NP/bpp-1.
+
+    The min/max-Key METADATA stays slot-dense ([B, P] logical) — it is
+    1/page_size of the data and the estimate op consumes it as plain
+    contiguous matmul operands.
+    """
+
+    kv_pages: jnp.ndarray   # [L, Hkv, NP, 2, page, D]  shared physical pool
+    k_max: jnp.ndarray      # [L, B, Hkv, P, D]
+    k_min: jnp.ndarray      # [L, B, Hkv, P, D]
+    block_tab: jnp.ndarray  # [B, NB] int32 physical block per logical block
+    seq_lens: jnp.ndarray   # [B] int32 — tokens currently stored
 
     @property
     def page_size(self) -> int:
@@ -60,15 +94,32 @@ class PagedKVCache:
 
     @property
     def max_pages(self) -> int:
-        return self.kv_pages.shape[-4]
+        """Logical pages per slot."""
+        return self.k_max.shape[3]
+
+    @property
+    def num_phys_pages(self) -> int:
+        return self.kv_pages.shape[2]
+
+    @property
+    def block_pages(self) -> int:
+        return self.max_pages // self.block_tab.shape[1]
 
     @property
     def batch_size(self) -> int:
-        return self.kv_pages.shape[1]
+        return self.k_max.shape[1]
 
     def layer(self, l: int) -> "LayerKV":
-        return LayerKV(self.kv_pages[l], self.k_max[l], self.k_min[l],
-                       self.seq_lens)
+        """Materialized per-slot view [B, Hkv, P, ...] of one layer
+        (gathers through the block table — a copy; for tests/benches,
+        not the serving path)."""
+        bpp = self.block_pages
+        B = self.batch_size
+        phys = (self.block_tab[:, :, None] * bpp
+                + jnp.arange(bpp)[None, None, :]).reshape(B, -1)  # [B, P]
+        kv = self.kv_pages[l][:, phys]          # [Hkv, B, P, 2, page, D]
+        return LayerKV(jnp.swapaxes(kv, 0, 1), self.k_max[l],
+                       self.k_min[l], self.seq_lens)
 
 
 @jax.tree_util.register_dataclass
@@ -93,17 +144,50 @@ class LayerKV:
 
 
 def init_cache(model: ModelConfig, quest: QuestConfig, batch_size: int = 1,
-               num_layers: int | None = None) -> PagedKVCache:
-    """Allocate the full pool up-front (reference: `kv_cache.py:20-23`)."""
+               num_layers: int | None = None,
+               total_pages: int | None = None,
+               dp: int = 1) -> PagedKVCache:
+    """Allocate the pool up-front (reference: `kv_cache.py:20-23`).
+
+    ``total_pages``: physical data-pool size (defaults to scratch +
+    batch_size*max_pages — full static reservation, the round-1
+    behaviour). A continuous-batching engine passes a smaller pool and
+    manages ``block_tab`` through the PagePool allocator (kv/pool.py);
+    the default block table statically assigns slot ``b`` the
+    contiguous block range ``[1 + b*NB, 1 + (b+1)*NB)``.
+
+    ``dp``: number of data-parallel pool replicas. The physical page
+    axis is dp-sharded (parallel/mesh.py), so block-table VALUES must
+    be shard-local: with ``dp > 1`` the default layout repeats per
+    shard (slot ``b`` maps to local-slot ``b % (B/dp)``'s identity
+    range, and ``total_pages`` counts pages PER SHARD).
+    """
     L = num_layers if num_layers is not None else model.num_layers
     B, H, D = batch_size, model.num_kv_heads, model.head_dim
     P, page = quest.max_pages, quest.page_size
+    bpp = min(quest.block_pages, P)
+    assert P % bpp == 0
+    NB = P // bpp
+    assert B % dp == 0
+    Bl = B // dp
+    if total_pages is None:
+        total_pages = bpp + Bl * P       # scratch block + full reservation
+    NP_local = -(-total_pages // bpp) * bpp
     dt = quest.kv_dtype
     mdt = quest.resolved_meta_dtype
+    # Identity layout: local slot b owns local blocks [1+b*NB, 1+(b+1)*NB)
+    # (block 0 = scratch). Rows beyond the per-shard reservation capacity
+    # start out pointing at scratch.
+    local_rows = (jnp.arange(B, dtype=jnp.int32) % Bl)[:, None]
+    row_fits = (local_rows + 1) * NB + 1 <= NP_local // bpp
+    btab = jnp.where(row_fits,
+                     1 + local_rows * NB + jnp.arange(NB, dtype=jnp.int32),
+                     0)
     return PagedKVCache(
-        kv_pages=jnp.zeros((L, B, H, P, 2, page, D), dtype=dt),
+        kv_pages=jnp.zeros((L, H, dp * NP_local, 2, page, D), dtype=dt),
         k_max=jnp.zeros((L, B, H, P, D), dtype=mdt),
         k_min=jnp.zeros((L, B, H, P, D), dtype=mdt),
+        block_tab=btab,
         seq_lens=jnp.zeros((B,), dtype=jnp.int32),
     )
 
@@ -146,8 +230,8 @@ def append_decode(layer: LayerKV, k_new: jnp.ndarray,
 
     kv, kmax, kmin = jax.vmap(one)(
         layer.kv_pages, layer.k_max, layer.k_min,
-        k_new.astype(layer.kv_pages.dtype),
-        v_new.astype(layer.kv_pages.dtype),
+        _finite(k_new).astype(layer.kv_pages.dtype),
+        _finite(v_new).astype(layer.kv_pages.dtype),
         layer.seq_lens)
     return LayerKV(kv, kmax, kmin, layer.seq_lens)
 
@@ -170,6 +254,8 @@ def append_prefill(layer: LayerKV, k_new: jnp.ndarray, v_new: jnp.ndarray,
     B, T, H, D = k_new.shape
     page = layer.kv_pages.shape[-2]
     P = layer.kv_pages.shape[-4]
+    k_new = _finite(k_new)
+    v_new = _finite(v_new)
     if new_lens is None:
         new_lens = jnp.full((B,), T, dtype=jnp.int32)
 
@@ -224,13 +310,26 @@ def append_prefill(layer: LayerKV, k_new: jnp.ndarray, v_new: jnp.ndarray,
 # ---------------------------------------------------------------------------
 # Whole-pool variants with a STATIC layer index — the zero-copy serving
 # path. The unrolled model keeps the persistent [L, ...] pool arrays in
-# the donated step state; every append is a token-sized
-# dynamic_update_slice directly into the full buffer (XLA keeps donated
-# dus in place), and the attention kernels read the same buffer via
-# layer-indexed BlockSpecs. No per-layer slicing, stacking, or layout
-# copies (a scan-over-layers formulation measured ~1 full cache copy
-# per decode step).
+# the donated step state; every append is a batched scatter directly
+# into the shared physical buffer (one scatter per step, in-place under
+# donation — NOT a Python-over-batch dus chain, which bloated program
+# size O(B*L)), routed through the block table. The attention kernels
+# read the same buffer via layer-indexed BlockSpecs.
 # ---------------------------------------------------------------------------
+
+def _phys_pages(block_tab: jnp.ndarray, bpp: int,
+                logical: jnp.ndarray) -> jnp.ndarray:
+    """Translate logical page ids -> physical, rows = leading axis.
+
+    ``logical``: [B, ...] int32 per-slot logical page ids. Junk entries
+    map through whatever block the table holds (>= scratch), never out
+    of range, because ids stay < max_pages and the table is full-width.
+    """
+    B = block_tab.shape[0]
+    bidx = jnp.reshape(jnp.arange(B), (B,) + (1,) * (logical.ndim - 1))
+    blk = block_tab[jnp.broadcast_to(bidx, logical.shape), logical // bpp]
+    return blk * bpp + logical % bpp
+
 
 def append_decode_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
                      v_new: jnp.ndarray,
@@ -240,98 +339,120 @@ def append_decode_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
     ``k_new, v_new``: [B, Hkv, D]; written at ``seq_lens[b]``. Returns a
     cache whose arrays alias-update in place under donation.
 
-    ``active`` [B] bool: slots with ``active=False`` keep their
-    *metadata* untouched — their data write lands in the garbage region
-    beyond ``seq_len`` (harmless, overwritten later), but a metadata
-    max/min fold of a garbage key would persist and inflate the page's
-    criticality bound forever.
+    ``active`` [B] bool: slots with ``active=False`` are routed to the
+    scratch block (their table lookup is overridden with block 0) and
+    keep their metadata untouched — in a shared pool an inactive slot's
+    "one past seq_len" position may not be backed by a block it owns,
+    and a metadata max/min fold of a garbage key would inflate the
+    page's criticality bound forever.
     """
-    kv, kmax, kmin = cache.kv_pages, cache.k_max, cache.k_min
+    kv, kmax, kmin, btab = (cache.kv_pages, cache.k_max, cache.k_min,
+                            cache.block_tab)
     page = kv.shape[-2]
+    bpp = cache.block_pages
     B, H, D = k_new.shape
-    kq = k_new.astype(kv.dtype)
-    vq = v_new.astype(kv.dtype)
-    for b in range(B):
-        pos = cache.seq_lens[b]
-        p_idx = pos // page
-        e_idx = pos % page
-        tok = jnp.stack([kq[b], vq[b]], axis=1)  # [H, 2, D]
-        kv = jax.lax.dynamic_update_slice(
-            kv, tok[None, None, :, None, :, None, :],
-            (layer, b, 0, p_idx, 0, e_idx, 0))
-        old_max = jax.lax.dynamic_slice(
-            kmax, (layer, b, 0, p_idx, 0),
-            (1, 1, H, 1, D))[0, 0, :, 0].astype(jnp.float32)
-        old_min = jax.lax.dynamic_slice(
-            kmin, (layer, b, 0, p_idx, 0),
-            (1, 1, H, 1, D))[0, 0, :, 0].astype(jnp.float32)
-        kf = kq[b].astype(jnp.float32)
-        first = (e_idx == 0)
-        new_max = jnp.where(first, kf, jnp.maximum(old_max, kf))
-        new_min = jnp.where(first, kf, jnp.minimum(old_min, kf))
-        if active is not None:
-            new_max = jnp.where(active[b], new_max, old_max)
-            new_min = jnp.where(active[b], new_min, old_min)
-        kmax = jax.lax.dynamic_update_slice(
-            kmax, new_max[None, None, :, None, :].astype(kmax.dtype),
-            (layer, b, 0, p_idx, 0))
-        kmin = jax.lax.dynamic_update_slice(
-            kmin, new_min[None, None, :, None, :].astype(kmin.dtype),
-            (layer, b, 0, p_idx, 0))
-    return PagedKVCache(kv, kmax, kmin, cache.seq_lens)
+    kq = _finite(k_new).astype(kv.dtype)
+    vq = _finite(v_new).astype(kv.dtype)
+    pos = cache.seq_lens
+    p_log = pos // page                                   # [B]
+    e_idx = pos % page
+    tab = btab if active is None else jnp.where(active[:, None], btab, 0)
+    row = jnp.arange(B)
+    p_phys = tab[row, p_log // bpp] * bpp + p_log % bpp   # [B]
+
+    # Data: ONE scatter of [B, Hkv, 2, D] (advanced indices at the
+    # page/entry axes; broadcast batch dim lands in front).
+    tok = jnp.stack([kq, vq], axis=2)                     # [B, Hkv, 2, D]
+    kv = kv.at[layer, :, p_phys, :, e_idx, :].set(tok)
+
+    # Metadata (slot-dense, logical): batched gather -> fold -> scatter.
+    old_max = kmax[layer, row, :, p_log, :].astype(jnp.float32)  # [B,H,D]
+    old_min = kmin[layer, row, :, p_log, :].astype(jnp.float32)
+    kf = kq.astype(jnp.float32)
+    first = (e_idx == 0)[:, None, None]
+    new_max = jnp.where(first, kf, jnp.maximum(old_max, kf))
+    new_min = jnp.where(first, kf, jnp.minimum(old_min, kf))
+    if active is not None:
+        act = active[:, None, None]
+        new_max = jnp.where(act, new_max, old_max)
+        new_min = jnp.where(act, new_min, old_min)
+    kmax = kmax.at[layer, row, :, p_log, :].set(new_max.astype(kmax.dtype))
+    kmin = kmin.at[layer, row, :, p_log, :].set(new_min.astype(kmin.dtype))
+    return PagedKVCache(kv, kmax, kmin, btab, cache.seq_lens)
 
 
 def append_prefill_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
                       v_new: jnp.ndarray,
                       new_lens: jnp.ndarray | None = None) -> PagedKVCache:
     """Write ``T`` tokens per sequence into layer ``layer`` (static),
-    starting at ``seq_lens[b]``; window read-modify-write of the
-    touched pages only (see append_prefill for semantics)."""
-    kv, kmax, kmin = cache.kv_pages, cache.k_max, cache.k_min
+    starting at ``seq_lens[b]``; batched window read-modify-write of
+    the touched pages only (see append_prefill for semantics): ONE
+    gather + ONE scatter through the block table, not a per-slot
+    Python loop (which bloated program size O(B*L)).
+
+    Rows with ``new_lens[b] == 0`` are routed to the scratch block and
+    skip metadata — a prefill tick over a mixed batch can never corrupt
+    a busy slot, even one sitting near its logical pool end (the window
+    clamp stays in logical space; its physical target is scratch).
+    """
+    kv, kmax, kmin, btab = (cache.kv_pages, cache.k_max, cache.k_min,
+                            cache.block_tab)
     B, T, H, D = k_new.shape
     page = kv.shape[-2]
-    P = kv.shape[3]
+    P = cache.max_pages
+    bpp = cache.block_pages
+    k_new = _finite(k_new)
+    v_new = _finite(v_new)
     if new_lens is None:
         new_lens = jnp.full((B,), T, dtype=jnp.int32)
     W = min(P, T // page + 2)
+    active = new_lens > 0
+    tab = jnp.where(active[:, None], btab, 0)
+    row = jnp.arange(B)
 
-    for b in range(B):
-        offset = cache.seq_lens[b]
-        nlen = new_lens[b]
-        k_t = k_new[b].transpose(1, 0, 2).astype(kv.dtype)  # [H, T, D]
-        v_t = v_new[b].transpose(1, 0, 2).astype(kv.dtype)
-        p0 = jnp.minimum(offset // page, P - W)
-        local = offset - p0 * page
-        win = jax.lax.dynamic_slice(kv, (layer, b, 0, p0, 0, 0, 0),
-                                    (1, 1, H, W, 2, page, D))[0, 0]
-        win_k = win[:, :, K].reshape(H, W * page, D)
-        win_v = win[:, :, V].reshape(H, W * page, D)
-        win_k = jax.lax.dynamic_update_slice(win_k, k_t, (0, local, 0))
-        win_v = jax.lax.dynamic_update_slice(win_v, v_t, (0, local, 0))
-        win = jnp.stack([win_k.reshape(H, W, page, D),
-                         win_v.reshape(H, W, page, D)], axis=2)
-        kv = jax.lax.dynamic_update_slice(kv, win[None, None],
-                                          (layer, b, 0, p0, 0, 0, 0))
+    offset = cache.seq_lens                              # [B]
+    p0 = jnp.minimum(offset // page, P - W)
+    local = offset - p0 * page                           # in-window start
+    wpages = p0[:, None] + jnp.arange(W)[None, :]        # [B, W] logical
+    phys_win = _phys_pages(tab, bpp, wpages)             # [B, W]
 
-        new_len = offset + nlen
-        wkf = win[:, :, K].astype(jnp.float32)
-        tok_ids = ((p0 + jnp.arange(W))[:, None] * page
-                   + jnp.arange(page)[None, :])
-        valid = (tok_ids < new_len)[None, :, :, None]
-        big = jnp.float32(3.0e38)
-        wmax = jnp.max(jnp.where(valid, wkf, -big), axis=2)
-        wmin = jnp.min(jnp.where(valid, wkf, big), axis=2)
-        any_valid = jnp.any(valid, axis=2)
-        old_max = jax.lax.dynamic_slice(kmax, (layer, b, 0, p0, 0),
-                                        (1, 1, H, W, D))[0, 0]
-        old_min = jax.lax.dynamic_slice(kmin, (layer, b, 0, p0, 0),
-                                        (1, 1, H, W, D))[0, 0]
-        wmax = jnp.where(any_valid, wmax, old_max.astype(jnp.float32))
-        wmin = jnp.where(any_valid, wmin, old_min.astype(jnp.float32))
-        wmax = wmax.astype(kmax.dtype)
-        wmin = wmin.astype(kmin.dtype)
-        kmax = jax.lax.dynamic_update_slice(kmax, wmax[None, None],
-                                            (layer, b, 0, p0, 0))
-        kmin = jax.lax.dynamic_update_slice(kmin, wmin[None, None],
-                                            (layer, b, 0, p0, 0))
-    return PagedKVCache(kv, kmax, kmin, cache.seq_lens)
+    # Gather the touched windows: [B, W, Hkv, 2, page, D] (advanced
+    # indices layer+phys_win are non-contiguous -> batch dims in front).
+    win = jnp.swapaxes(kv[layer, :, phys_win], 1, 2)     # [B,Hkv,W,2,page,D]
+
+    k_t = k_new.transpose(0, 2, 1, 3).astype(kv.dtype)   # [B, Hkv, T, D]
+    v_t = v_new.transpose(0, 2, 1, 3).astype(kv.dtype)
+
+    def insert(w, kt, vt, loc):
+        # w [Hkv, W, 2, page, D]; token-flattened K/V views of the
+        # window (free reshapes after peeling the K/V axis).
+        wk = w[:, :, K].reshape(H, W * page, D)
+        wv = w[:, :, V].reshape(H, W * page, D)
+        wk = jax.lax.dynamic_update_slice(wk, kt, (0, loc, 0))
+        wv = jax.lax.dynamic_update_slice(wv, vt, (0, loc, 0))
+        return jnp.stack([wk.reshape(H, W, page, D),
+                          wv.reshape(H, W, page, D)], axis=2)
+
+    win = jax.vmap(insert)(win, k_t, v_t, local)
+    kv = kv.at[layer, :, phys_win].set(jnp.swapaxes(win, 1, 2))
+
+    # Recompute min/max over the touched page windows (skipped entirely
+    # for inactive rows — their window holds scratch garbage).
+    new_len = offset + new_lens
+    wkf = win[:, :, :, K].astype(jnp.float32)            # [B,Hkv,W,page,D]
+    tok_ids = wpages[:, :, None] * page + jnp.arange(page)[None, None, :]
+    valid = (tok_ids < new_len[:, None, None])[:, None, :, :, None]
+    big = jnp.float32(3.0e38)
+    wmax = jnp.max(jnp.where(valid, wkf, -big), axis=3)  # [B, Hkv, W, D]
+    wmin = jnp.min(jnp.where(valid, wkf, big), axis=3)
+    any_valid = jnp.any(valid, axis=3)                   # [B, 1, W, 1]
+    old_max = jnp.swapaxes(kmax[layer, row[:, None], :, wpages], 1, 2)
+    old_min = jnp.swapaxes(kmin[layer, row[:, None], :, wpages], 1, 2)
+    write = jnp.logical_and(any_valid, active[:, None, None, None])
+    wmax = jnp.where(write, wmax, old_max.astype(jnp.float32))
+    wmin = jnp.where(write, wmin, old_min.astype(jnp.float32))
+    kmax = kmax.at[layer, row[:, None], :, wpages].set(
+        jnp.swapaxes(wmax.astype(kmax.dtype), 1, 2))
+    kmin = kmin.at[layer, row[:, None], :, wpages].set(
+        jnp.swapaxes(wmin.astype(kmin.dtype), 1, 2))
+    return PagedKVCache(kv, kmax, kmin, btab, cache.seq_lens)

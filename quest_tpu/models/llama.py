@@ -149,10 +149,15 @@ class QuestModel:
             with jax.named_scope("quest_sparse_attn"):
                 return sparse_decode_attention(
                     q, cache.kv_pages, idx, num_valid, seq_lens,
-                    sm_scale=sm, layer=layer)
+                    sm_scale=sm, layer=layer,
+                    block_tab=cache.block_tab,
+                    block_pages=cache.block_pages)
         with jax.named_scope("dense_decode_attn"):
             return dense_decode_attention(q, cache.kv_pages, seq_lens,
-                                          sm_scale=sm, layer=layer)
+                                          sm_scale=sm, layer=layer,
+                                          block_tab=cache.block_tab,
+                                          block_pages=cache.block_pages,
+                                          max_pages=cache.max_pages)
 
     # ------------------------------------------------------------------
     def _layer(self, x, lp, cache: PagedKVCache, layer: int,
@@ -186,7 +191,10 @@ class QuestModel:
             with jax.named_scope("prefill_attn"):
                 attn = prefill_attention(q, cache.kv_pages,
                                          cache.seq_lens, seq_new,
-                                         sm_scale=sm, layer=layer)
+                                         sm_scale=sm, layer=layer,
+                                         block_tab=cache.block_tab,
+                                         block_pages=cache.block_pages,
+                                         max_pages=cache.max_pages)
         else:
             with jax.named_scope("append_kv_decode"):
                 # Inactive slots (new_lens==0) must not fold their

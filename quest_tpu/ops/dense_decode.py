@@ -29,6 +29,14 @@ from jax.experimental.pallas import tpu as pltpu
 from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
+def _kernel_shared(bp: int, page: int, seq_ref, btab_ref, q_ref, kv_ref,
+                   o_ref, m_scr, l_scr, acc_scr):
+    # Shared-pool mode: the block table is consumed by the index map
+    # only; the compute body is identical.
+    _kernel(bp, page, seq_ref, q_ref, kv_ref, o_ref, m_scr, l_scr,
+            acc_scr)
+
+
 def _kernel(bp: int, page: int, seq_ref, q_ref, kv_ref, o_ref,
             m_scr, l_scr, acc_scr):
     b = pl.program_id(0)
@@ -75,38 +83,48 @@ def _kernel(bp: int, page: int, seq_ref, q_ref, kv_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_t",
-                                             "interpret", "layer"))
+                                             "interpret", "layer",
+                                             "block_pages", "max_pages"))
 def dense_decode_attention(q, kv_pages, seq_lens, *, sm_scale: float,
                            block_t: int = 2048,
                            interpret: bool | None = None,
-                           layer: int | None = None):
+                           layer: int | None = None,
+                           block_tab=None,
+                           block_pages: int | None = None,
+                           max_pages: int | None = None):
     """Decode attention over the full (valid-masked) cache.
 
     q: [B, Hq, D]; kv_pages: [B, Hkv, P, 2, page, D] packed pool — or
-    the whole-model pool [L, ...] with a static ``layer`` index (the
-    layer selection is folded into the BlockSpec index map so the
-    kernel reads the persistent buffer with zero copies);
-    seq_lens: [B]. Returns [B, Hq, D] f32.
+    the whole-model SHARED pool [L, Hkv, NP, 2, page, D] with a static
+    ``layer`` index plus ``block_tab [B, NB]``/``block_pages``/
+    ``max_pages`` (kv/paged_kv.py): the per-slot logical stream is
+    reconstructed by the BlockSpec index map looking up one table entry
+    per allocation block — the stream granularity equals the allocation
+    granularity, so runs of contiguous physical blocks pipeline exactly
+    like the slot-dense layout; seq_lens: [B]. Returns [B, Hq, D] f32.
     """
     if interpret is None:
         interpret = use_interpret()
     B, Hq, D = q.shape
-    shp = kv_pages.shape if layer is None else kv_pages.shape[1:]
-    _, Hkv, P, _, page, _ = shp
-    G = Hq // Hkv
-
-    bp = max(1, min(block_t // page, P))
-    if P % bp != 0:
-        if layer is not None:
-            # Whole-pool mode cannot pad; use the largest divisor of P.
-            while P % bp:
-                bp -= 1
-        else:
+    shared = layer is not None
+    if shared:
+        assert block_tab is not None and block_pages is not None
+        _, Hkv, _, _, page, _ = kv_pages.shape
+        P = max_pages if max_pages is not None else (
+            block_tab.shape[1] * block_pages)
+        # Stream one allocation block per grid step: physical blocks
+        # are bpp-aligned so each table entry IS a block index.
+        bp = block_pages
+    else:
+        _, Hkv, P, _, page, _ = kv_pages.shape
+        bp = max(1, min(block_t // page, P))
+        if P % bp != 0:
             pad = round_up(P, bp) - P
             kv_pages = jnp.pad(
                 kv_pages,
                 ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
             P += pad
+    G = Hq // Hkv
     nb = P // bp
 
     Gp = round_up(G, 16)
@@ -114,20 +132,26 @@ def dense_decode_attention(q, kv_pages, seq_lens, *, sm_scale: float,
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
     qg = qg.astype(kv_pages.dtype)
 
-    def kv_index(b, h, j, seq_ref):
-        # Clamp at the last valid block: runs of identical indices make
-        # the pipeline skip redundant DMAs for the invalid tail.
-        last = jnp.maximum(pl.cdiv(seq_ref[b], bp * page) - 1, 0)
-        jj = jnp.minimum(j, last)
-        if layer is None:
+    if shared:
+        def kv_index(b, h, j, seq_ref, btab_ref):
+            last = jnp.maximum(pl.cdiv(seq_ref[b], bp * page) - 1, 0)
+            jj = jnp.minimum(j, last)
+            return (layer, h, btab_ref[b, jj], 0, 0, 0)
+        kv_block = (1, 1, bp, 2, page, D)
+        prefetch = (seq_lens.astype(jnp.int32),
+                    block_tab.astype(jnp.int32))
+    else:
+        def kv_index(b, h, j, seq_ref):
+            # Clamp at the last valid block: runs of identical indices
+            # make the pipeline skip redundant DMAs of the invalid tail.
+            last = jnp.maximum(pl.cdiv(seq_ref[b], bp * page) - 1, 0)
+            jj = jnp.minimum(j, last)
             return (b, h, jj, 0, 0, 0)
-        return (layer, b, h, jj, 0, 0, 0)
-
-    kv_block = ((1, 1, bp, 2, page, D) if layer is None
-                else (1, 1, 1, bp, 2, page, D))
+        kv_block = (1, 1, bp, 2, page, D)
+        prefetch = (seq_lens.astype(jnp.int32),)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(prefetch),
         grid=(B, Hkv, nb),
         in_specs=[
             pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, *_: (b, h, 0, 0)),
@@ -142,10 +166,10 @@ def dense_decode_attention(q, kv_pages, seq_lens, *, sm_scale: float,
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, bp, page),
+        functools.partial(_kernel_shared if shared else _kernel, bp, page),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
         interpret=interpret,
-    )(seq_lens.astype(jnp.int32), qg, kv_pages)
+    )(*prefetch, qg, kv_pages)
 
     return out[:, :, :G, :].reshape(B, Hq, D)

@@ -40,6 +40,14 @@ from jax.experimental.pallas import tpu as pltpu
 from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
+def _kernel_shared(block_q: int, G: int, bpk: int, page: int, meta_ref,
+                   btab_ref, q_ref, kv_ref, o_ref, m_scr, l_scr, acc_scr):
+    # Shared-pool mode: the block table is consumed by the index map
+    # only; the compute body is identical.
+    _kernel(block_q, G, bpk, page, meta_ref, q_ref, kv_ref, o_ref,
+            m_scr, l_scr, acc_scr)
+
+
 def _kernel(block_q: int, G: int, bpk: int, page: int, meta_ref, q_ref,
             kv_ref, o_ref, m_scr, l_scr, acc_scr):
     b = pl.program_id(0)
@@ -120,25 +128,36 @@ def _kernel(block_q: int, G: int, bpk: int, page: int, meta_ref, q_ref,
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_q",
                                              "block_k", "interpret",
-                                             "layer"))
+                                             "layer", "block_pages",
+                                             "max_pages"))
 def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
                       sm_scale: float, block_q: int = 1024,
                       block_k: int = 1024, interpret: bool | None = None,
-                      layer: int | None = None):
+                      layer: int | None = None,
+                      block_tab=None, block_pages: int | None = None,
+                      max_pages: int | None = None):
     """Causal attention of T fresh queries over the paged cache.
 
     q: [B, T, Hq, D] (rope already applied); kv_pages:
     [B, Hkv, P, 2, page, D] packed pool (new tokens already appended) —
-    or the whole-model pool [L, ...] with static ``layer`` (selection
-    folded into the index map; zero-copy read of the persistent
-    buffer); q_offsets: [B] tokens cached before this chunk;
+    or the whole-model SHARED pool [L, Hkv, NP, 2, page, D] with static
+    ``layer`` plus ``block_tab``/``block_pages``/``max_pages``
+    (kv/paged_kv.py; the slot's logical KV stream is reconstructed by
+    one table lookup per allocation block in the index map);
+    q_offsets: [B] tokens cached before this chunk;
     kv_lens: [B] = q_offsets + real new length. Returns [B, T, Hq, D] f32.
     """
     if interpret is None:
         interpret = use_interpret()
     B, T, Hq, D = q.shape
-    shp = kv_pages.shape if layer is None else kv_pages.shape[1:]
-    _, Hkv, P, _, page, _ = shp
+    shared = layer is not None
+    if shared:
+        assert block_tab is not None and block_pages is not None
+        _, Hkv, _, _, page, _ = kv_pages.shape
+        P = max_pages if max_pages is not None else (
+            block_tab.shape[1] * block_pages)
+    else:
+        _, Hkv, P, _, page, _ = kv_pages.shape
     G = Hq // Hkv
 
     # Keep the fused row count VMEM-friendly: the [R, block_k] f32
@@ -148,7 +167,13 @@ def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
     # not a multiple of 16 for e.g. G=3) and hold for any G.
     cap = max((1024 // G) // 16 * 16, 16)
     block_q = min(block_q, round_up(T, 16), cap)
-    bpk = max(1, min(block_k // page, P))
+    if shared:
+        # KV stream granularity = allocation granularity, so each table
+        # entry is directly a stream-block index.
+        bpk = min(block_pages, P)
+        assert P % bpk == 0
+    else:
+        bpk = max(1, min(block_k // page, P))
     block_k = bpk * page
 
     qt = (q.astype(jnp.float32) * sm_scale).transpose(0, 2, 1, 3)
@@ -156,39 +181,41 @@ def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
     qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
     qt = qt.astype(kv_pages.dtype)          # [B, Hq, Tp, D]
     qt = qt.reshape(B, Hkv, G, Tp, D)
-    if P % bpk != 0:
-        if layer is not None:
-            while P % bpk:      # whole-pool mode cannot pad
-                bpk -= 1
-            block_k = bpk * page
-        else:
-            pad = round_up(P, bpk) - P
-            kv_pages = jnp.pad(
-                kv_pages,
-                ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
-            P += pad
+    if not shared and P % bpk != 0:
+        pad = round_up(P, bpk) - P
+        kv_pages = jnp.pad(
+            kv_pages,
+            ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+        P += pad
     nb_q = Tp // block_q
     nb_k = P // bpk
 
     meta = jnp.stack([q_offsets.astype(jnp.int32),
                       kv_lens.astype(jnp.int32)], axis=1)  # [B, 2]
 
-    def kv_index(b, h, i, j, meta_ref):
+    def _clamp_j(b, i, j, meta_ref):
         offset = meta_ref[b, 0]
         kv_len = meta_ref[b, 1]
         max_q_pos = offset + (i + 1) * block_q - 1
         hi = jnp.minimum(pl.cdiv(max_q_pos + 1, block_k),
                          pl.cdiv(kv_len, block_k))
-        jj = jnp.minimum(j, jnp.maximum(hi - 1, 0))
-        if layer is None:
-            return (b, h, jj, 0, 0, 0)
-        return (layer, b, h, jj, 0, 0, 0)
+        return jnp.minimum(j, jnp.maximum(hi - 1, 0))
 
-    kv_block = ((1, 1, bpk, 2, page, D) if layer is None
-                else (1, 1, 1, bpk, 2, page, D))
+    if shared:
+        def kv_index(b, h, i, j, meta_ref, btab_ref):
+            jj = _clamp_j(b, i, j, meta_ref)
+            return (layer, h, btab_ref[b, jj], 0, 0, 0)
+        kv_block = (1, 1, bpk, 2, page, D)
+        prefetch = (meta, block_tab.astype(jnp.int32))
+    else:
+        def kv_index(b, h, i, j, meta_ref):
+            jj = _clamp_j(b, i, j, meta_ref)
+            return (b, h, jj, 0, 0, 0)
+        kv_block = (1, 1, bpk, 2, page, D)
+        prefetch = (meta,)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(prefetch),
         grid=(B, Hkv, nb_q, nb_k),
         in_specs=[
             pl.BlockSpec((1, 1, G, block_q, D),
@@ -205,11 +232,12 @@ def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, block_q, G, bpk, page),
+        functools.partial(_kernel_shared if shared else _kernel,
+                          block_q, G, bpk, page),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Tp, D), jnp.float32),
         interpret=interpret,
-    )(meta, qt, kv_pages)
+    )(*prefetch, qt, kv_pages)
 
     out = out.reshape(B, Hq, Tp, D)
     return out[:, :, :T].transpose(0, 2, 1, 3)

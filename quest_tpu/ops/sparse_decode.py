@@ -66,8 +66,10 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
     T = pl.num_programs(1)        # = Hkv * nb
     h = t // nb
     j = t % nb
-    # With a static layer index the kernel reads the whole-model cache
-    # buffer directly — no per-layer slice materialization outside.
+    # With a static layer index the kernel reads the whole-model SHARED
+    # pool [L, Hkv, NP, ...] directly (no batch axis — slots share
+    # physical pages; ids arriving in idx_ref are already PHYSICAL).
+    shared = layer is not None
     kv_hbm = kv_hbm if layer is None else kv_hbm.at[layer]
 
     def start_copies(ff):
@@ -84,8 +86,10 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
             # Per-q-head selection mode (kvdiv = G > 1): grid head hh is
             # a QUERY head; its pages live under physical KV head
             # hh // kvdiv (docs/gqa_selection.md).
+            src = (kv_hbm.at[hh // kvdiv, pid] if shared
+                   else kv_hbm.at[bb, hh // kvdiv, pid])
             pltpu.make_async_copy(
-                kv_hbm.at[bb, hh // kvdiv, pid],
+                src,
                 kv_buf.at[slot, i],
                 sems.at[slot],
             ).start()
@@ -178,25 +182,30 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "pages_per_block",
                                              "num_slots", "interpret",
-                                             "layer", "per_q_head"))
+                                             "layer", "per_q_head",
+                                             "block_pages"))
 def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             seq_lens, *, sm_scale: float,
                             pages_per_block: int = 128,
                             num_slots: int = 3,
                             interpret: bool | None = None,
                             layer: int | None = None,
-                            per_q_head: bool = False):
+                            per_q_head: bool = False,
+                            block_tab=None,
+                            block_pages: int | None = None):
     """Decode attention over selected pages.
 
     Args:
       q: [B, Hq, D] query for the current token (un-scaled).
       kv_pages: [B, Hkv, P, 2, page, D] packed paged cache (0=K, 1=V) —
-        or the whole-model pool [L, B, Hkv, P, 2, page, D] with a static
-        ``layer`` index (zero-copy read of the persistent buffer).
-      indices: [B, Hkv, S] int32 selected page ids (slots >= num_valid
-        junk; valid slots must hold DISTINCT ids — the partial current
-        page is unmasked at duplicate occurrences otherwise).
-        select_pages guarantees both.
+        or the whole-model SHARED pool [L, Hkv, NP, 2, page, D] with a
+        static ``layer`` index (zero-copy read of the persistent
+        buffer; requires ``block_tab``/``block_pages``, kv/paged_kv.py).
+      indices: [B, Hkv, S] int32 selected LOGICAL page ids (slots >=
+        num_valid junk; valid slots must hold DISTINCT ids — the partial
+        current page is unmasked at duplicate occurrences otherwise).
+        select_pages guarantees both. Translation to physical pool
+        pages happens here, after the last-page slot is located.
       num_valid: [B] int32 count of real slots.
       seq_lens: [B] int32 sequence lengths incl. the current token.
       sm_scale: softmax scale (1/sqrt(D)).
@@ -208,8 +217,12 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
     if interpret is None:
         interpret = use_interpret()
     B, Hq, D = q.shape
-    shp = kv_pages.shape if layer is None else kv_pages.shape[1:]
-    _, Hkv, P, _, page, _ = shp
+    if layer is None:
+        _, Hkv, P, _, page, _ = kv_pages.shape
+    else:
+        assert block_tab is not None and block_pages is not None, (
+            "shared whole-pool mode needs the block table")
+        _, Hkv, _, _, page, _ = kv_pages.shape
     S = indices.shape[-1]
     # per_q_head: indices are [B, Hq, S] (reference-faithful selection,
     # `/root/reference/quest/utils/controller.py:106,119`); each grid
@@ -251,6 +264,15 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
     lastslot = jnp.where(jnp.any(is_last, axis=-1),
                          jnp.argmax(is_last, axis=-1).astype(jnp.int32),
                          -1)                       # [B, Hkv]
+
+    if block_tab is not None:
+        # Logical -> physical page ids through the per-slot block table
+        # (one tiny XLA gather; the kernel then addresses the shared
+        # pool directly).
+        bidx = jnp.arange(B)[:, None, None]
+        blk = block_tab[jnp.broadcast_to(bidx, indices.shape),
+                        indices // block_pages]
+        indices = blk * block_pages + indices % block_pages
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

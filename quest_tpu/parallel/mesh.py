@@ -50,12 +50,20 @@ def param_specs() -> dict:
 
 
 def cache_specs() -> object:
-    """PagedKVCache: batch on dp, KV heads on tp."""
+    """PagedKVCache: batch/physical pages on dp, KV heads on tp.
+
+    The shared physical pool has no batch axis; its PAGE axis shards on
+    dp (pages are interchangeable, each dp group runs its own
+    allocator), block-table VALUES are shard-local by construction
+    (kv/paged_kv.py:init_cache dp= layout), and the slot-dense
+    metadata/tables/seq_lens shard their batch axis on dp as before.
+    """
     from quest_tpu.kv.paged_kv import PagedKVCache
     return PagedKVCache(
-        kv_pages=P(None, DP_AXIS, TP_AXIS, None, None, None, None),
+        kv_pages=P(None, TP_AXIS, DP_AXIS, None, None, None),
         k_max=P(None, DP_AXIS, TP_AXIS, None, None),
         k_min=P(None, DP_AXIS, TP_AXIS, None, None),
+        block_tab=P(DP_AXIS, None),
         seq_lens=P(DP_AXIS),
     )
 

@@ -67,14 +67,22 @@ def make_sharded_fns(cfg: ModelConfig, quest: QuestConfig, mesh: Mesh):
 
 
 def init_sharded_cache(cfg: ModelConfig, quest: QuestConfig, mesh: Mesh,
-                       batch_size: int) -> PagedKVCache:
-    """Allocate the cache directly with its target sharding."""
+                       batch_size: int,
+                       total_pages: int | None = None) -> PagedKVCache:
+    """Allocate the cache directly with its target sharding.
+
+    ``total_pages`` counts physical pages PER DP SHARD (each dp group
+    owns an independent slice of the pool; block tables are
+    shard-local — see cache_specs).
+    """
     from jax.sharding import NamedSharding
 
     cspecs = cache_specs()
+    dp = mesh.shape[DP_AXIS]
 
     def alloc():
-        return init_cache(cfg, quest, batch_size)
+        return init_cache(cfg, quest, batch_size, total_pages=total_pages,
+                          dp=dp)
 
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), cspecs,
                              is_leaf=lambda x: isinstance(x, P))
