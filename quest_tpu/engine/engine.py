@@ -50,6 +50,8 @@ class QuestEngine:
         self._decode_fn = jax.jit(self.model.decode_step, donate_argnums=(1,))
         self._tok_fn = jax.jit(self.model.decode_token_step,
                                donate_argnums=(1,))
+        self._nll_fn = jax.jit(self.model.decode_nll_step,
+                               donate_argnums=(1,))
 
     # -- lifecycle (quest_init/quest_clear analogues) --------------------
     def clear(self) -> None:
@@ -152,6 +154,74 @@ class QuestEngine:
                 row = row[: row.index(eos_token_id) + 1]
             res.append(row)
         return res
+
+    # -- on-device eval bursts -------------------------------------------
+    # The eval harnesses run at serving speed through these: every decode
+    # dispatch is async + donated, the host never fetches per token (a
+    # per-token fetch costs ~tens of ms through remote dispatch), and
+    # tiny results are pulled in bulk every ``sync_every`` steps (which
+    # also bounds the dispatch queue depth).
+
+    def feed_ondevice(self, tokens: np.ndarray,
+                      sync_every: int = 512) -> None:
+        """Advance the cache over known tokens ([B, N], e.g. a question
+        fed as decode so sparsity applies, reference `passkey.py:68-97`)
+        without fetching any logits."""
+        tokens = np.asarray(tokens, np.int32)
+        B, N = tokens.shape
+        assert B == self.batch_size
+        self._check_decode_room(N)
+        sync = None
+        for t in range(N):
+            logits, self.cache = self._decode_fn(
+                self.params, self.cache, jnp.asarray(tokens[:, t]))
+            if (t + 1) % sync_every == 0:
+                np.asarray(logits[:, 0])    # throttle the dispatch queue
+        self._host_lens += N
+
+    def score_ondevice(self, tokens: np.ndarray, targets: np.ndarray,
+                       sync_every: int = 256) -> np.ndarray:
+        """Teacher-forced decode NLLs: feed ``tokens[:, t]``, score
+        ``targets[:, t]`` (usually ``tokens`` shifted by one). Returns
+        [B, N] f32 NLLs, fetched one stacked chunk per ``sync_every``
+        steps — the perplexity-eval hot loop."""
+        tokens = np.asarray(tokens, np.int32)
+        targets = np.asarray(targets, np.int32)
+        B, N = tokens.shape
+        assert targets.shape == (B, N) and B == self.batch_size
+        self._check_decode_room(N)
+        out = np.empty((B, N), np.float32)
+        pend: List = []
+        base = 0
+        for t in range(N):
+            nll, self.cache = self._nll_fn(
+                self.params, self.cache, jnp.asarray(tokens[:, t]),
+                jnp.asarray(targets[:, t]))
+            pend.append(nll)
+            if len(pend) == sync_every or t == N - 1:
+                out[:, base:base + len(pend)] = np.asarray(
+                    jnp.stack(pend, axis=1))
+                base += len(pend)
+                pend = []
+        self._host_lens += N
+        return out
+
+    def greedy_ondevice(self, first_tokens: Sequence[int],
+                        n: int, sync_every: int = 512) -> np.ndarray:
+        """Feed ``first_tokens`` [B] and greedily generate ``n`` tokens
+        on device (argmax fed straight back); returns [B, n] int32.
+        Unlike :meth:`generate_ondevice` this continues from the current
+        cache state (e.g. right after a decoded question)."""
+        self._check_decode_room(n)
+        tok = jnp.asarray(np.asarray(first_tokens, np.int32))
+        toks = []
+        for t in range(n):
+            tok, self.cache = self._tok_fn(self.params, self.cache, tok)
+            toks.append(tok)
+            if (t + 1) % sync_every == 0:
+                np.asarray(tok)             # throttle the dispatch queue
+        self._host_lens += n
+        return np.stack([np.asarray(t) for t in toks], axis=1)
 
     @staticmethod
     def _sample(logits: np.ndarray, temperature: float, key, step: int):

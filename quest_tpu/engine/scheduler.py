@@ -105,35 +105,61 @@ class ContinuousBatchingEngine:
                  max_batch: int = 4, prefill_bucket: int = 256,
                  seed: int = 0, burst: int = 16,
                  total_pages: Optional[int] = None,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh (parallel/mesh.py). The
+        step functions then run inside shard_map (tp over heads/vocab,
+        dp over batch slots); each dp group owns an independent slice of
+        the physical pool with its own allocator, and ``total_pages``
+        counts usable pages PER DP GROUP. max_batch must divide dp."""
         self.cfg = cfg
         self.quest = quest
-        self.params = params
         self.max_batch = max_batch
         self.prefill_bucket = prefill_bucket
         self.burst = max(1, burst)
         self.prefill_chunk = prefill_chunk
-        self.model = QuestModel(cfg, quest)
+        self.mesh = mesh
         bpp = min(quest.block_pages, quest.max_pages)
         self.block_tokens = bpp * quest.page_size
-        if total_pages is None:
-            total_pages = max_batch * quest.max_pages
-        self.cache = init_cache(cfg, quest, max_batch,
-                                total_pages=bpp + total_pages)
-        # All table rows start at scratch; the allocator owns the rest.
+        dp = 1
+        if mesh is None:
+            self.model = QuestModel(cfg, quest)
+            self.params = params
+            if total_pages is None:
+                total_pages = max_batch * quest.max_pages
+            self.cache = init_cache(cfg, quest, max_batch,
+                                    total_pages=bpp + total_pages)
+            self._prefill_fn = jax.jit(self.model.prefill_last,
+                                       donate_argnums=(1,))
+            self._tok_fn = jax.jit(self.model.decode_token_step,
+                                   donate_argnums=(1,))
+            self._sample_fn = jax.jit(self.model.decode_sample_step,
+                                      donate_argnums=(1,))
+        else:
+            from quest_tpu.parallel.mesh import DP_AXIS, shard_params
+            from quest_tpu.parallel.tp import (init_sharded_cache,
+                                               make_serving_fns)
+            dp = mesh.shape[DP_AXIS]
+            assert max_batch % dp == 0, (max_batch, dp)
+            self.params = shard_params(params, mesh)
+            if total_pages is None:
+                total_pages = (max_batch // dp) * quest.max_pages
+            self.cache = init_sharded_cache(cfg, quest, mesh, max_batch,
+                                            total_pages=bpp + total_pages)
+            (self._prefill_fn, self._tok_fn,
+             self._sample_fn) = make_serving_fns(cfg, quest, mesh)
+        # All table rows start at scratch; the allocators own the rest.
         self.cache = dataclasses.replace(
             self.cache,
-            block_tab=jnp.zeros_like(self.cache.block_tab))
-        n_blocks = self.cache.num_phys_pages // bpp - 1   # minus scratch
-        self.pool = PagePool(n_blocks, self.block_tokens,
-                             max_seqs=max_batch)
+            block_tab=self.cache.block_tab.at[:].set(0))
+        self.dp = dp
+        self._slots_per_group = max_batch // dp
+        n_blocks = self.cache.num_phys_pages // dp // bpp - 1  # - scratch
+        self.pools = [PagePool(n_blocks, self.block_tokens,
+                               max_seqs=self._slots_per_group)
+                      for _ in range(dp)]
+        self.pool = self.pools[0]       # single-group convenience alias
         self._table_width = self.cache.block_tab.shape[1]
-        self._prefill_fn = jax.jit(self.model.prefill_last,
-                                   donate_argnums=(1,))
-        self._tok_fn = jax.jit(self.model.decode_token_step,
-                               donate_argnums=(1,))
-        self._sample_fn = jax.jit(self.model.decode_sample_step,
-                                  donate_argnums=(1,))
         self.slots: List[Optional[_Slot]] = [None] * max_batch
         self.queue: deque[Request] = deque()
         self._seed = seed
@@ -149,13 +175,18 @@ class ContinuousBatchingEngine:
         return -(-(len(req.prompt) + req.max_new_tokens)
                  // self.block_tokens)
 
+    def _group(self, b: int) -> int:
+        """dp group owning slot ``b`` (batch axis is dp-sharded)."""
+        return b // self._slots_per_group
+
     def submit(self, req: Request) -> None:
         if len(req.prompt) + req.max_new_tokens > self.quest.max_seq_len:
             raise ValueError(f"request {req.uid} exceeds max_seq_len")
-        if self._blocks_needed(req) > self.pool.total_pages:
+        if self._blocks_needed(req) > self.pools[0].total_pages:
             raise ValueError(
                 f"request {req.uid} needs {self._blocks_needed(req)} "
-                f"blocks; pool holds {self.pool.total_pages}")
+                f"blocks; each pool group holds "
+                f"{self.pools[0].total_pages}")
         self.queue.append(req)
 
     @property
@@ -174,17 +205,22 @@ class ContinuousBatchingEngine:
         free = [b for b, s in enumerate(self.slots) if s is None]
         while free and self.queue:
             req = self.queue[0]
-            if self._blocks_needed(req) * self.block_tokens > (
-                    self.pool.free_pages() * self.block_tokens):
+            # First free slot whose dp group's allocator has room (FIFO
+            # over requests: the head blocks later ones — no starvation).
+            pick = next((i for i, b in enumerate(free)
+                         if self.pools[self._group(b)].free_pages()
+                         >= self._blocks_needed(req)), None)
+            if pick is None:
                 break
             self.queue.popleft()
-            b = free.pop(0)
-            sid = self.pool.seq_create()
+            b = free.pop(pick)
+            pool = self.pools[self._group(b)]
+            sid = pool.seq_create()
             # Reserve the FULL need up front: admitted requests never
             # wait for memory again.
-            self.pool.seq_extend(sid, len(req.prompt) + req.max_new_tokens)
-            raw, _ = self.pool.fill_batch_tables([sid], self._table_width,
-                                                 pad_page=-1)
+            pool.seq_extend(sid, len(req.prompt) + req.max_new_tokens)
+            raw, _ = pool.fill_batch_tables([sid], self._table_width,
+                                            pad_page=-1)
             row = np.where(raw[0] < 0, 0, raw[0] + 1).astype(np.int32)
             rng = np.random.default_rng(self._seed * 7919 + req.uid)
             self.slots[b] = _Slot(req=req, generated=[], pending=-1,
@@ -323,9 +359,9 @@ class ContinuousBatchingEngine:
                     and token == req.eos_token_id))
         if done:
             self.slots[b] = None
-            # Recycle: blocks back to the allocator, table row to
-            # scratch, fill pointer reset.
-            self.pool.seq_release(slot.sid)
+            # Recycle: blocks back to the slot's group allocator, table
+            # row to scratch, fill pointer reset.
+            self.pools[self._group(b)].seq_release(slot.sid)
             self._hlens[b] = 0
             self.cache = dataclasses.replace(
                 self.cache,

@@ -65,20 +65,24 @@ def predict_task(engine: QuestEngine, tokenizer, task: str,
         if decode_question and len(ids) > 64:
             # Prefill all but the final question tokens; decode those
             # token-by-token so sparsity is active (`pred.py:122-150`).
+            # Question feed + greedy answer run as async on-device
+            # bursts (no per-token host fetch); EOS is trimmed
+            # host-side from the over-generated tail.
             split = len(ids) - 32
             engine.prefill([ids[:split]])
-            logits = None
-            for tid in ids[split:]:
-                logits = engine.decode([tid])
+            engine.feed_ondevice([ids[split:-1]])
+            out_ids = engine.greedy_ondevice([ids[-1]],
+                                             gen_len)[0].tolist()
         else:
             logits = engine.prefill([ids])
-        out_ids = []
-        for _ in range(gen_len):
-            nxt = int(logits[0].argmax())
-            if nxt == getattr(tokenizer, "eos_token_id", -1):
-                break
-            out_ids.append(nxt)
-            logits = engine.decode([nxt])
+            first = int(logits[0].argmax())
+            out_ids = [first]
+            if gen_len > 1:
+                out_ids += engine.greedy_ondevice([first],
+                                                  gen_len - 1)[0].tolist()
+        eos = getattr(tokenizer, "eos_token_id", -1)
+        if eos is not None and eos in out_ids:
+            out_ids = out_ids[: out_ids.index(eos)]
         text = tokenizer.decode(out_ids, skip_special_tokens=True)
         preds.append(text)
         if outf:

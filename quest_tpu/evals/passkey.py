@@ -81,15 +81,13 @@ def evaluate_passkey(engine: QuestEngine, tokenizer, n_garbage: int = 60000,
             except TypeError:  # tokenizer without the kwarg
                 q_ids = tokenizer.encode(question)
             engine.prefill([ctx_ids])
-            # Question fed token-by-token as decode (reference :68-97).
-            for tid in q_ids[:-1]:
-                engine.decode([tid])
-            logits = engine.decode([q_ids[-1]])
-            out_ids = []
-            for _ in range(max_new_tokens):
-                nxt = int(logits[0].argmax())
-                out_ids.append(nxt)
-                logits = engine.decode([nxt])
+            # Question fed token-by-token as decode (reference :68-97),
+            # then the answer generated greedily — both as async
+            # on-device bursts with no per-token host fetch.
+            if len(q_ids) > 1:
+                engine.feed_ondevice([q_ids[:-1]])
+            out_ids = engine.greedy_ondevice([q_ids[-1]],
+                                             max_new_tokens)[0].tolist()
             answer = tokenizer.decode(out_ids)
             digits = re.findall(r"\d+", answer)
             ok = any(passkey in dd for dd in digits) or passkey in answer

@@ -31,21 +31,22 @@ def evaluate_perplexity(engine: QuestEngine, token_ids: List[int],
         ids = ids[: num_eval_tokens + warmup_prefill]
     assert len(ids) >= warmup_prefill + 1
 
-    nlls: List[float] = []
-    logf = open(log_path, "w") if log_path else None
-
     logits = engine.prefill([ids[:warmup_prefill]])  # [B, V]
-    for t in range(warmup_prefill, len(ids)):
-        target = ids[t]
-        logp = _log_softmax_at(logits[0], target)
-        nlls.append(-logp)
-        if logf:
-            print(-logp, file=logf, flush=False)
-        if t < len(ids) - 1:
-            logits = engine.decode([target])
+    # First prediction comes from the prefill logits; every later one
+    # rides the on-device teacher-forced burst (async decode_nll_step
+    # chain, NLLs fetched in bulk) — same protocol as the reference's
+    # per-token loop at serving speed instead of a [B, V] logits fetch
+    # per token.
+    nlls: List[float] = [-_log_softmax_at(logits[0], ids[warmup_prefill])]
+    if len(ids) > warmup_prefill + 1:
+        feed = np.asarray([ids[warmup_prefill:-1]], np.int32)
+        targets = np.asarray([ids[warmup_prefill + 1:]], np.int32)
+        nlls.extend(engine.score_ondevice(feed, targets)[0].tolist())
 
-    if logf:
-        logf.close()
+    if log_path:
+        with open(log_path, "w") as logf:
+            for v in nlls:
+                print(v, file=logf)
     return float(math.exp(np.mean(nlls)))
 
 

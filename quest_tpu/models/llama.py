@@ -308,6 +308,23 @@ class QuestModel:
         logits, cache = self.decode_step(params, cache, tokens, active)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
+    def decode_nll_step(self, params: Params, cache: PagedKVCache,
+                        tokens: jnp.ndarray, targets: jnp.ndarray,
+                        active: jnp.ndarray | None = None):
+        """Teacher-forced decode step returning the negative log-likelihood
+        of ``targets`` [B] under the step's logits: tokens [B] ->
+        (nll [B] f32, cache). The eval-speed building block: a PG19-style
+        token-by-token perplexity loop chains these asynchronously and
+        fetches NLLs in bulk instead of pulling [B, V] logits through the
+        host every token (the reference fetches logits per token,
+        `/root/reference/evaluation/pg19/ppl_eval.py:85-100`)."""
+        logits, cache = self.decode_step(params, cache, tokens, active)
+        logits = logits.astype(jnp.float32)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, targets[:, None].astype(jnp.int32),
+                                  axis=-1)[:, 0]
+        return lse - tgt, cache
+
     def decode_sample_step(self, params: Params, cache: PagedKVCache,
                            tokens: jnp.ndarray, key: jax.Array,
                            temps: jnp.ndarray,

@@ -66,6 +66,57 @@ def make_sharded_fns(cfg: ModelConfig, quest: QuestConfig, mesh: Mesh):
     return prefill_fn, decode_fn
 
 
+def make_serving_fns(cfg: ModelConfig, quest: QuestConfig, mesh: Mesh):
+    """Sharded step functions for the continuous-batching scheduler:
+    (prefill_last_fn, decode_token_fn, decode_sample_fn), each jitted
+    with donated cache. Same signatures as the single-device model
+    methods, so the scheduler swaps them in transparently:
+
+    prefill_last_fn(params, cache, tokens [B, T], new_lens [B])
+        -> (logits [B, 1, V], cache)
+    decode_token_fn(params, cache, tokens [B], active [B])
+        -> (next_tokens [B], cache)
+    decode_sample_fn(params, cache, tokens [B], key, temps [B],
+        active [B]) -> (next_tokens [B], key, cache)
+
+    The PRNG key is replicated: dp shards draw with the same key over
+    different rows (row draws within a shard are independent; identical
+    logits in different dp groups would correlate — harmless for
+    serving).
+    """
+    tp = mesh.shape[TP_AXIS]
+    model = QuestModel(local_config(cfg, tp), quest, tp_axis=TP_AXIS)
+    pspecs = param_specs()
+    cspecs = cache_specs()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(pspecs, cspecs, P(DP_AXIS, None), P(DP_AXIS)),
+             out_specs=(P(DP_AXIS, None, None), cspecs),
+             check_vma=False)
+    def _prefill_last(params, cache, tokens, new_lens):
+        return model.prefill_last(params, cache, tokens, new_lens)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(pspecs, cspecs, P(DP_AXIS), P(DP_AXIS)),
+             out_specs=(P(DP_AXIS), cspecs),
+             check_vma=False)
+    def _tok(params, cache, tokens, active):
+        return model.decode_token_step(params, cache, tokens, active)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(pspecs, cspecs, P(DP_AXIS), P(), P(DP_AXIS),
+                       P(DP_AXIS)),
+             out_specs=(P(DP_AXIS), P(), cspecs),
+             check_vma=False)
+    def _sample(params, cache, tokens, key, temps, active):
+        return model.decode_sample_step(params, cache, tokens, key,
+                                        temps, active)
+
+    return (jax.jit(_prefill_last, donate_argnums=(1,)),
+            jax.jit(_tok, donate_argnums=(1,)),
+            jax.jit(_sample, donate_argnums=(1,)))
+
+
 def init_sharded_cache(cfg: ModelConfig, quest: QuestConfig, mesh: Mesh,
                        batch_size: int,
                        total_pages: int | None = None) -> PagedKVCache:

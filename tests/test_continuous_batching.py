@@ -185,6 +185,32 @@ def test_chunked_prefill_does_not_stall_decode(setup):
     assert gens[1] == _single_reference(cfg, quest, params, long_p, 4)
 
 
+def test_sharded_serving_matches_single_stream(setup):
+    """Continuous batching under a (dp=2, tp=2) mesh (VERDICT #10 done
+    criterion): slots shard over dp with per-group allocators, heads/
+    vocab shard over tp, and every request matches the unsharded
+    single-stream reference exactly."""
+    from quest_tpu.parallel import make_mesh
+
+    cfg, quest, params = setup
+    mesh = make_mesh(2, 2)
+    engine = ContinuousBatchingEngine(cfg, quest, params, max_batch=4,
+                                      prefill_bucket=16, mesh=mesh)
+    assert len(engine.pools) == 2
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(1, 256, size=n).tolist()
+               for n in (12, 30, 7, 21, 16, 9)]
+    n_new = [5, 3, 8, 4, 6, 2]
+    reqs = [Request(uid=i, prompt=p, max_new_tokens=k)
+            for i, (p, k) in enumerate(zip(prompts, n_new))]
+    outs = engine.run(reqs)
+    assert set(outs) == set(range(6))
+    for i, (p, k) in enumerate(zip(prompts, n_new)):
+        expected = _single_reference(cfg, quest, params, p, k)
+        assert outs[i] == expected, f"request {i}"
+    assert all(p.free_pages() == p.total_pages for p in engine.pools)
+
+
 def test_sampled_requests_burst_on_device(setup):
     """temperature > 0 requests ride the on-device sampling burst
     (decode_sample_step): full streams, valid token range, and two

@@ -53,6 +53,59 @@ def test_perplexity_smoke():
     assert 20 < ppl < 4000
 
 
+def test_score_ondevice_matches_per_token_loop():
+    """The on-device teacher-forced NLL burst must reproduce the slow
+    fetch-logits-per-token protocol exactly (same engine, f32)."""
+    rng = np.random.default_rng(7)
+    ids = rng.integers(1, 256, size=60).tolist()
+    warm = 16
+
+    eng = tiny_engine()
+    logits = eng.prefill([ids[:warm]])
+    slow = []
+    for t in range(warm, len(ids)):
+        x = logits[0] - logits[0].max()
+        slow.append(float(np.log(np.exp(x).sum()) - x[ids[t]]))
+        if t < len(ids) - 1:
+            logits = eng.decode([ids[t]])
+
+    eng2 = tiny_engine()
+    logits = eng2.prefill([ids[:warm]])
+    x = logits[0] - logits[0].max()
+    first = float(np.log(np.exp(x).sum()) - x[ids[warm]])
+    fast = [first] + eng2.score_ondevice(
+        np.asarray([ids[warm:-1]]), np.asarray([ids[warm + 1:]]),
+        sync_every=8)[0].tolist()
+    np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-5)
+
+
+def test_feed_and_greedy_ondevice_match_slow_loop():
+    """feed_ondevice + greedy_ondevice (the eval serving path) must
+    produce the same tokens as the per-token decode loop."""
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(1, 256, size=40).tolist()
+    question = rng.integers(1, 256, size=9).tolist()
+    n_new = 6
+
+    eng = tiny_engine()
+    eng.prefill([prompt])
+    logits = None
+    for tid in question:
+        logits = eng.decode([tid])
+    slow = []
+    for _ in range(n_new):
+        nxt = int(logits[0].argmax())
+        slow.append(nxt)
+        logits = eng.decode([nxt])
+
+    eng2 = tiny_engine()
+    eng2.prefill([prompt])
+    eng2.feed_ondevice([question[:-1]], sync_every=4)
+    fast = eng2.greedy_ondevice([question[-1]], n_new,
+                                sync_every=4)[0].tolist()
+    assert fast == slow
+
+
 def test_passkey_prompt_structure():
     ctx, question, key = build_passkey_prompt(2000, seed=3,
                                               depth_ratio=0.5)
