@@ -35,6 +35,7 @@ def main():
     from quest_tpu.kv.paged_kv import LayerKV, append_prefill, init_cache
     from quest_tpu.ops.dense_decode import dense_decode_attention
     from quest_tpu.ops.estimate import page_scores
+    from quest_tpu.ops.fused_decode import fused_sparse_decode
     from quest_tpu.ops.sparse_decode import sparse_decode_attention
     from quest_tpu.ops.topk import select_pages
     from quest_tpu.utils.benchmarking import bench_op
@@ -63,7 +64,7 @@ def main():
         layer = cache.layer(0)
         # Fill in chunks: a single bulk append's page-window RMW spans
         # the whole pool at 128K and OOMs alongside the staging arrays.
-        CH = 8192
+        CH = min(8192, CTX)
         fill = jax.jit(append_prefill, donate_argnums=(0,))
         for off in range(0, CTX, CH):
             k_new = (rng.standard_normal((B, CH, Hkv, D)) * 0.3).astype(
@@ -93,11 +94,29 @@ def main():
                                                      sm_scale=sm))
             return sparse_step
 
-        # Headline: the default engine configuration (exact top-k,
-        # bf16 metadata — paper-faithful semantics).
-        t_sparse = bench_op(make_sparse_step("exact"), q, iters=iters,
-                            reps=reps, env=(layer.kv_pages, layer.k_max,
-                                            layer.k_min))
+        # Headline: the default engine configuration — the fused
+        # decode megakernel (ops/fused_decode.py): estimate -> EXACT
+        # in-kernel top-k -> gather -> flash decode in one Pallas
+        # call, bf16 metadata. Same semantics as the unfused exact
+        # pipeline (tests/test_fused_decode.py); the two memory
+        # phases overlap instead of serializing.
+        def fused_step(q, env):
+            kv_pages, kmax, kmin = env
+            return fb(q, fused_sparse_decode(q, kv_pages, kmax, kmin,
+                                             seq, sm_scale=sm,
+                                             budget_pages=S))
+        t_fused = bench_op(fused_step, q, iters=iters, reps=reps,
+                           env=(layer.kv_pages, layer.k_max,
+                                layer.k_min))
+
+        # Unfused exact pipeline (estimate + select_pages + sparse
+        # decode as separate calls) — the round-1 configuration.
+        t_unfused = bench_op(make_sparse_step("exact"), q, iters=iters,
+                             reps=reps, env=(layer.kv_pages, layer.k_max,
+                                             layer.k_min))
+        t_sparse = min(t_fused, t_unfused)
+        log(f"fused {t_fused*1e6:.1f} us vs unfused {t_unfused*1e6:.1f}"
+            f" us at {CTX}")
 
         # Secondary: the long-context serving configuration — approx
         # top-k (QuestConfig.topk_method="approx", sound when pages >>

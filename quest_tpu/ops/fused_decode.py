@@ -1,0 +1,377 @@
+"""Fused Quest decode pipeline — estimate → exact top-K → gather →
+flash-decode in ONE Pallas kernel.
+
+Why this kernel exists. The reference runs the decode-attention
+pipeline as four device launches (estimate, RAFT top-k, sparse decode,
+plus per-step host planning — `/root/reference/quest/utils/controller.py:95-129`,
+`kernels/include/decode/decode_attn.cuh:245-401,441-646`,
+`kernels/include/topk/decode_select_k.cuh:26-62`). Our unfused TPU
+pipeline mirrors that as three XLA/Pallas calls and is SERIAL: at
+32K/2048 the estimate streams 33.5 MB of metadata (~45 us), then top-k
+runs (~15-27 us), then the sparse gather moves another 33.5 MB
+(~65-85 us) — the two memory phases never overlap, so the wall clock
+is their SUM (~130-170 us) against a ~90 us single-stream data floor.
+
+TPU-first fusion: one kernel, one grid, two concurrent DMA streams.
+While head ``h``'s selected pages are being gathered and decoded, head
+``h+1``'s metadata is already streaming and scoring. Per flattened
+grid step (one metadata block):
+
+  1. issue the metadata DMA ``nms-1`` steps ahead (contiguous
+     [bp, D] slices of k_max/k_min — large, descriptor-cheap);
+  2. wait the current metadata block, compute its score slice with two
+     MXU matmuls (the relu/min sign-split of ops/estimate.py), write
+     one [1, 128] row of the head's score matrix;
+  3. on a head's LAST block: run the in-kernel EXACT top-K (below),
+     compact the selected page ids in ascending-page order, and issue
+     the whole-selection gather (one 8 KB descriptor per page — the
+     layout keeps each page's K and V adjacent, see sparse_decode.py);
+  4. one head later (next head's second-to-last block — by which time
+     the 1 MB gather has long landed): masked single-block flash
+     decode of the gathered pages, write the head's output rows.
+
+In-kernel exact top-K (replaces lax.top_k / approx_max_k, which do not
+exist inside Pallas):
+  * scores live as [16, 128] f32, page id = row*128 + col;
+  * keys are order-preserving int32 images of the f32 scores
+    (``b < 0 ? b ^ 0x7fffffff : b`` — IEEE754 totally ordered, so the
+    radix descent compares integers only);
+  * a 32-pass 1-bit radix descent finds the exact K-th-largest key T
+    and the tie count, entirely in vector registers (per-pass state is
+    an active mask + a remaining-rank scalar; no SMEM round trips);
+  * selected = (key > T) | (key == T and tie-rank < remaining), with
+    tie-rank in ascending page order — the same set (and tie policy)
+    as ``lax.top_k``; the last page carries +inf and is always in;
+  * compaction: global slot = exclusive cumsum of the selected mask in
+    page order (ascending-page output, like select_pages'
+    sort_by_page), materialized through 16 tiny [128, K] one-hot
+    matmuls fed by one [16,128]→[128,16] transpose — no scatter, no
+    cross-lane relayout of the score matrix.
+
+Exactness caveat (documented, not observable with real scores): keys
+order -0.0 below +0.0, so a top-K boundary tie between -0.0 and +0.0
+scores may resolve differently than lax.top_k. The reference's fp16
+radix select bit-orders the boundary the same way.
+
+Semantics match the unfused pipeline exactly:
+  page_scores(group_agg) → select_pages(method="exact",
+  sort_by_page=True) → sparse_decode_attention
+and are tested against it and the eager oracles in
+tests/test_fused_decode.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
+
+_SIGN_FIX = 0x7FFFFFFF  # see key mapping above
+
+
+def _exact_topk_select(s, num_pages, last_page, K):
+    """Exact top-K selection on a [P_rows, 128] score matrix.
+
+    Returns (sel, slot, num_valid) where sel marks the selected pages,
+    slot is each selected page's output position in ascending-page
+    order, and num_valid = min(K, num_pages). All vector ops.
+    """
+    rows, lanes = s.shape
+    pid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) * lanes
+           + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+    s = jnp.where(pid < num_pages, s, -jnp.inf)
+    s = jnp.where(pid == last_page, jnp.inf, s)
+
+    b = jax.lax.bitcast_convert_type(s, jnp.int32)
+    key = jnp.where(b < 0, b ^ jnp.int32(_SIGN_FIX), b)
+
+    num_valid = jnp.minimum(jnp.int32(K), num_pages)
+
+    # 32-pass 1-bit radix descent for the exact K-th largest key.
+    active = jnp.ones(s.shape, jnp.bool_)
+    k_rem = num_valid
+    for sh in range(31, -1, -1):
+        bit = (jax.lax.shift_right_logical(key, jnp.int32(sh))
+               & jnp.int32(1)) == 1
+        # Signed keys: bit 31 SET means negative (smaller); within a
+        # sign, two's complement orders like unsigned. So the "upper
+        # half" at the sign bit is bit==0, everywhere else bit==1.
+        bit_hi = jnp.logical_not(bit) if sh == 31 else bit
+        hi = jnp.logical_and(active, bit_hi)
+        c = jnp.sum(hi.astype(jnp.int32))
+        go_hi = c >= k_rem
+        active = jnp.where(go_hi, hi,
+                           jnp.logical_and(active,
+                                           jnp.logical_not(bit_hi)))
+        k_rem = jnp.where(go_hi, k_rem, k_rem - c)
+
+    # active == {key == T}; include the k_rem lowest-page-id ties —
+    # the same tie policy as lax.top_k (earlier index wins).
+    thr = jnp.max(jnp.where(active, key, jnp.int32(-2147483648)))
+    gt = key > thr
+    tie_rank = _page_order_cumsum(active.astype(jnp.int32)) - active
+    sel = jnp.logical_or(gt, jnp.logical_and(active, tie_rank < k_rem))
+
+    slot = _page_order_cumsum(sel.astype(jnp.int32)) - sel
+    return sel, slot, num_valid
+
+
+def _page_order_cumsum(x):
+    """Inclusive cumsum of [rows, lanes] i32 in row-major (page) order."""
+    cs = jnp.cumsum(x, axis=1)
+    row_tot = cs[:, -1:]
+    off = jnp.cumsum(row_tot, axis=0) - row_tot
+    return cs + off
+
+
+def _compact_ids(sel, slot, Kp):
+    """Scatter page ids to their slots: out[1, Kp] f32, ascending page
+    order, zeros at junk slots. 16 one-hot matmuls via one transpose."""
+    rows, lanes = sel.shape
+    # [rows,128] -> [128,rows]: columns become static slices.
+    slot_t = jnp.transpose(jnp.where(sel, slot, -1).astype(jnp.int32))
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (lanes, Kp), 1)
+    acc = jnp.zeros((1, Kp), jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.float32, (1, lanes), 1)
+    for r in range(rows):
+        oh = (slot_t[:, r:r + 1] == k_iota).astype(jnp.float32)
+        pids = col + float(r * lanes)
+        acc = acc + jax.lax.dot_general(
+            pids, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return acc
+
+
+def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, agg, sm_scale,
+            meta_ref, qc_ref, kmax_hbm, kmin_hbm, kv_hbm, o_ref,
+            mbuf, msem, gbuf, gsem, scores_scr, idx_scr, ls_scr):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    fh = t // nbm                 # flat (batch, head) being SCORED
+    mj = t % nbm
+    HT = T // nbm - 1             # real flat heads (one tail head)
+
+    def meta_start(ss):
+        # Issue metadata block for flat step ss into slot ss % nms.
+        hh = ss // nbm
+        jj = ss % nbm
+        bb = hh // Hkv
+        kk = hh % Hkv
+        sl = ss % nms
+        pltpu.make_async_copy(
+            kmax_hbm.at[bb, kk, pl.ds(jj * bp, bp)],
+            mbuf.at[sl, 0], msem.at[sl]).start()
+        pltpu.make_async_copy(
+            kmin_hbm.at[bb, kk, pl.ds(jj * bp, bp)],
+            mbuf.at[sl, 1], msem.at[sl]).start()
+
+    def meta_start_if_valid(ss):
+        @pl.when(ss < HT * nbm)
+        def _():
+            meta_start(ss)
+
+    # --- metadata stream: prologue + steady-state lookahead ---------
+    @pl.when(t == 0)
+    def _():
+        for d in range(nms - 1):
+            meta_start_if_valid(d)
+
+    meta_start_if_valid(t + nms - 1)
+
+    # --- score one metadata block ------------------------------------
+    @pl.when(t < HT * nbm)
+    def _():
+        sl = t % nms
+        pltpu.make_async_copy(mbuf.at[sl], mbuf.at[sl],
+                              msem.at[sl]).wait()
+        qc = qc_ref[0, 1]                          # [2Gp, D] of head fh
+        kmax = mbuf[sl, 0].astype(qc.dtype)        # [bp, D]
+        kmin = mbuf[sl, 1].astype(qc.dtype)
+        sblk = (jax.lax.dot_general(qc[:Gp], kmax,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(qc[Gp:], kmin,
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32))
+        row = jax.lax.broadcasted_iota(jnp.int32, sblk.shape, 0)
+        if agg == "max":
+            srow = jnp.max(jnp.where(row < G, sblk, -1e30), axis=0,
+                           keepdims=True)
+        else:
+            srow = jnp.sum(jnp.where(row < G, sblk, 0.0), axis=0,
+                           keepdims=True)
+        scores_scr[pl.ds(mj, 1), :] = srow         # [1, bp]
+
+    # --- head complete: exact top-K select + issue gather ------------
+    @pl.when(jnp.logical_and(t < HT * nbm, mj == nbm - 1))
+    def _():
+        bb = fh // Hkv
+        num_pages = meta_ref[bb, 0]
+        last_page = meta_ref[bb, 1]
+        sel, slot, _ = _exact_topk_select(scores_scr[...], num_pages,
+                                          last_page, K)
+        par = fh % 2
+        ids = _compact_ids(sel, slot, Kp)
+        idx_scr[pl.ds(par, 1), :] = ids.astype(jnp.int32)
+        pid = (jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+               * sel.shape[1]
+               + jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1))
+        ls = jnp.sum(jnp.where(
+            jnp.logical_and(sel, pid == last_page), slot, 0))
+        ls_scr[par, 0] = ls
+
+        kk = fh % Hkv
+        gs = fh % ngs
+        for i in range(K):
+            gpid = idx_scr[par, i]
+            pltpu.make_async_copy(
+                kv_hbm.at[bb, kk, gpid],
+                gbuf.at[gs, i], gsem.at[gs]).start()
+
+    # --- one head behind: flash-decode the gathered selection --------
+    dh = fh - 1
+    @pl.when(jnp.logical_and(dh >= 0, mj == nbm - 2))
+    def _():
+        bb = dh // Hkv
+        kk = dh % Hkv
+        gs = dh % ngs
+        pltpu.make_async_copy(gbuf.at[gs], gbuf.at[gs],
+                              gsem.at[gs]).wait()
+        num_pages = meta_ref[bb, 0]
+        num_valid = jnp.minimum(jnp.int32(K), num_pages)
+        last_len = meta_ref[bb, 2]
+        par = dh % 2
+        ls = ls_scr[par, 0]
+
+        qc = qc_ref[0, 0]                          # [2Gp, D] of head dh
+        q = (qc[:Gp] + qc[Gp:])                    # relu(q)+min(q,0) = q
+        kv = gbuf[gs]                              # [K, 2, page, D]
+        k = kv[:, 0].reshape(K * page, D)
+        v = kv[:, 1].reshape(K * page, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        ci = jax.lax.broadcasted_iota(jnp.int32, (1, K * page), 1)
+        mask = ci < num_valid * page
+        lo = ls * page + last_len
+        hi = (ls + 1) * page
+        mask = jnp.logical_and(
+            mask, jnp.logical_not(
+                jnp.logical_and(ci >= lo, ci < hi)))
+        s = jnp.where(mask, s, MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.where(mask, jnp.exp(s - m), 0.0)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[bb, kk] = (pv / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sm_scale", "budget_pages", "group_agg", "block_p", "meta_slots",
+    "gather_slots", "interpret"))
+def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
+                        sm_scale: float, budget_pages: int,
+                        group_agg: str = "sum", block_p: int = 128,
+                        meta_slots: int = 6, gather_slots: int = 2,
+                        interpret: bool | None = None):
+    """Full Quest decode-attention pipeline as one fused kernel.
+
+    Args:
+      q: [B, Hq, D] current decode query (un-scaled).
+      kv_pages: [B, Hkv, P, 2, page, D] packed paged cache.
+      k_max/k_min: [B, Hkv, P, D] per-page metadata.
+      seq_lens: [B] int32 lengths including the current token.
+      sm_scale: softmax scale.
+      budget_pages: static top-K page budget (includes the last page).
+      group_agg: GQA group aggregation for selection ("sum" | "max").
+      block_p: metadata pages scored per grid step (lane width 128).
+      meta_slots / gather_slots: DMA ring depths.
+
+    Returns: [B, Hq, D] f32 — identical (same selected set, same
+    masking) to page_scores → select_pages(exact) →
+    sparse_decode_attention.
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    B, Hq, D = q.shape
+    _, Hkv, P, _, page, _ = kv_pages.shape
+    G = Hq // Hkv
+    Gp = round_up(G, 16)
+    K = budget_pages
+    Kp = round_up(K, 128)
+    # The decode of head h lags one head and lands at block nbm-2 of
+    # head h+1, so every head needs >= 2 metadata blocks.
+    bp = min(block_p, P // 2)
+    assert bp % 64 == 0 and P % bp == 0, (
+        f"pool pages {P} must be a multiple of block_p {bp} (and 64)")
+    nbm = P // bp
+    nms = min(meta_slots, nbm * 2)
+    ngs = gather_slots
+    HT = B * Hkv
+
+    qf = q.astype(jnp.float32).reshape(B, Hkv, G, D)
+    qf = jnp.pad(qf, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    qdt = (k_max.dtype if jnp.dtype(k_max.dtype).itemsize >= 2
+           else jnp.bfloat16)
+    qc = jnp.concatenate([jnp.maximum(qf, 0.0), jnp.minimum(qf, 0.0)],
+                         axis=2).astype(qdt)       # [B, Hkv, 2Gp, D]
+
+    num_pages = ((seq_lens + page - 1) // page).astype(jnp.int32)
+    meta = jnp.stack([num_pages, num_pages - 1,
+                      ((seq_lens - 1) % page + 1).astype(jnp.int32)],
+                     axis=1)                        # [B, 3]
+
+    def qc_index(t, *_):
+        # Block fh of qc2 holds rows [qc(fh-1), qc(fh)]: the lagged
+        # decode (head fh-1) reads row 0, scoring (head fh) row 1.
+        return (t // nbm, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=((HT + 1) * nbm,),
+        in_specs=[
+            pl.BlockSpec((1, 2, 2 * Gp, D), qc_index),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((B, Hkv, Gp, D),
+                               lambda t, *_: (0, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((nms, 2, bp, D), k_max.dtype),
+            pltpu.SemaphoreType.DMA((nms,)),
+            pltpu.VMEM((ngs, K, 2, page, D), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((ngs,)),
+            pltpu.VMEM((nbm, bp), jnp.float32),
+            pltpu.VMEM((2, Kp), jnp.int32),
+            pltpu.SMEM((2, 1), jnp.int32),
+        ],
+    )
+
+    # qc2[i] = [qc(i-1), qc(i)] for i in 0..HT (zeros off both ends),
+    # so each grid block carries both the decode and scoring heads.
+    qcf = qc.reshape(HT, 2 * Gp, D)
+    z = jnp.zeros((1, 2 * Gp, D), qc.dtype)
+    row0 = jnp.concatenate([z, qcf], axis=0)        # head i-1
+    row1 = jnp.concatenate([qcf, z], axis=0)        # head i
+    qc2 = jnp.stack([row0, row1], axis=1)           # [HT+1, 2, 2Gp, D]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, page, D, K, Kp, G, Gp, Hkv, nbm, bp,
+                          nms, ngs, group_agg, sm_scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(meta, qc2, k_max, k_min, kv_pages)
+
+    return out[:, :, :G, :].reshape(B, Hq, D)

@@ -1,0 +1,113 @@
+"""Fused decode megakernel vs the unfused pipeline and eager oracles.
+
+The fused kernel must reproduce the unfused pipeline EXACTLY at the
+selection level (same top-K set — both are exact by construction) and
+match the eager sparse-attention oracle numerically. Geometry sweep
+covers MHA/GQA, ragged last pages, short rows (num_pages < budget),
+multi-block metadata streams, and batch > 1.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from quest_tpu.ops.estimate import page_scores
+from quest_tpu.ops.fused_decode import (_compact_ids, _exact_topk_select,
+                                        fused_sparse_decode)
+from quest_tpu.ops.reference import sparse_decode_attention_reference
+from quest_tpu.ops.sparse_decode import sparse_decode_attention
+from quest_tpu.ops.topk import select_pages
+
+
+def _mk(rng, B, Hkv, G, P, page, D, dt):
+    kv = rng.standard_normal((B, Hkv, P, 2, page, D)).astype(np.float32)
+    kv_pages = jnp.asarray(kv * 0.3, dt)
+    k_pages = kv_pages[:, :, :, 0].astype(jnp.float32)
+    k_max = jnp.max(k_pages, axis=3).astype(dt)
+    k_min = jnp.min(k_pages, axis=3).astype(dt)
+    q = jnp.asarray(rng.standard_normal((B, G * Hkv, D)).astype(np.float32)
+                    * 0.5)
+    return q, kv_pages, k_max, k_min
+
+
+def test_exact_topk_select_matches_select_pages():
+    rng = np.random.default_rng(7)
+    page = 16
+    for _ in range(24):
+        P = int(rng.choice([128, 256, 512, 2048]))
+        K = int(rng.integers(2, min(P, 200)))
+        seq = int(rng.integers(1, P * page))
+        s = rng.standard_normal(P).astype(np.float32) * 10
+        num_pages = (seq + page - 1) // page
+
+        sel, slot, nv = _exact_topk_select(
+            jnp.asarray(s.reshape(P // 128, 128)),
+            jnp.int32(num_pages), jnp.int32(num_pages - 1), K)
+        Kp = ((K + 127) // 128) * 128
+        ids = np.asarray(_compact_ids(sel, slot, Kp)).astype(np.int64)[0]
+        got = ids[:int(nv)].tolist()
+
+        idx, nv2 = select_pages(jnp.asarray(s)[None, None],
+                                jnp.asarray([seq], jnp.int32), page, K,
+                                method="exact")
+        want = np.asarray(idx)[0, 0, :int(nv2[0])].tolist()
+        assert int(nv) == int(nv2[0])
+        assert got == want, (P, K, seq)  # ascending page order, same set
+        assert got == sorted(got)
+
+
+CFGS = [
+    # B, Hkv, G, P, page, D, K, seqs, dtype
+    (1, 4, 1, 256, 16, 128, 32, (3000,), jnp.float32),
+    (1, 2, 4, 256, 16, 128, 32, (3900,), jnp.float32),   # GQA sum-agg
+    (2, 2, 1, 128, 16, 64, 16, (1790, 311), jnp.bfloat16),
+    (1, 1, 8, 128, 8, 128, 24, (1000,), jnp.float32),
+    (2, 2, 2, 256, 16, 128, 40, (95, 4081), jnp.bfloat16),  # short row
+    (1, 2, 1, 512, 4, 128, 130, (2001,), jnp.float32),   # K > 128 slots
+]
+
+
+@pytest.mark.parametrize("B,Hkv,G,P,page,D,K,seqs,dt", CFGS, ids=str)
+def test_fused_matches_unfused_pipeline(B, Hkv, G, P, page, D, K, seqs,
+                                        dt):
+    rng = np.random.default_rng(hash((B, Hkv, G, P, K)) % 2**31)
+    q, kv_pages, k_max, k_min = _mk(rng, B, Hkv, G, P, page, D, dt)
+    seq = jnp.asarray(np.array(seqs, np.int32))
+    sm = 1.0 / np.sqrt(D)
+
+    scores = page_scores(q, k_max, k_min, group_agg="sum")
+    idx, nv = select_pages(scores, seq, page, K, method="exact")
+    want_pipe = sparse_decode_attention(q, kv_pages, idx, nv, seq,
+                                        sm_scale=sm)
+    want_ref = sparse_decode_attention_reference(
+        q, kv_pages[:, :, :, 0].astype(jnp.float32),
+        kv_pages[:, :, :, 1].astype(jnp.float32), idx, nv, seq, sm)
+
+    got = fused_sparse_decode(q, kv_pages, k_max, k_min, seq,
+                              sm_scale=sm, budget_pages=K,
+                              group_agg="sum")
+    tol = 2e-2 if dt == jnp.bfloat16 else 2e-3
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_pipe),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_ref),
+                               rtol=tol, atol=tol)
+
+
+def test_fused_max_agg_and_dense_equivalence():
+    """K >= num_pages selects every valid page -> dense attention."""
+    rng = np.random.default_rng(3)
+    B, Hkv, G, P, page, D = 1, 2, 2, 128, 16, 128
+    q, kv_pages, k_max, k_min = _mk(rng, B, Hkv, G, P, page, D,
+                                    jnp.float32)
+    seq = jnp.asarray([700], jnp.int32)     # 44 pages < K
+    sm = 1.0 / np.sqrt(D)
+    got = fused_sparse_decode(q, kv_pages, k_max, k_min, seq,
+                              sm_scale=sm, budget_pages=64,
+                              group_agg="max")
+    from quest_tpu.ops.reference import dense_decode_attention_reference
+    k_flat = kv_pages[:, :, :, 0].reshape(B, Hkv, P * page, D)
+    v_flat = kv_pages[:, :, :, 1].reshape(B, Hkv, P * page, D)
+    want = dense_decode_attention_reference(q, k_flat, v_flat, seq, sm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

@@ -1,0 +1,165 @@
+"""Randomized kernel sweep approximating the reference's gtest grid.
+
+The reference sweeps ~400 (seq, page, budget, head_dim) combos per
+kernel (`/root/reference/kernels/src/test/test_batch_decode.cu:215-265`,
+`test_prefill.cu`, `test_page.cu`) with randomized inputs and a 99%
+within-tolerance pass rule. CPU interpret mode is ~1000x slower than
+the CUDA gtests, so this sweep draws a seeded random SAMPLE of the same
+grid each run (deterministic per QT_SWEEP_SEED) and scales via
+QT_SWEEP_N (default 8 configs per kernel; the full-grid analogue is
+QT_SWEEP_N=64+ on a beefy host). bf16 KV configs use bf16 tolerances.
+
+Unlike the hand-picked cases in test_attention_kernels.py these configs
+are not curated — the generator hits arbitrary grid corners (ragged
+last pages, budget==pages, G up to 8, page 4..32).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from quest_tpu.ops.dense_decode import dense_decode_attention
+from quest_tpu.ops.prefill import prefill_attention
+from quest_tpu.ops.reference import (dense_decode_attention_reference,
+                                     prefill_attention_reference,
+                                     sparse_decode_attention_reference)
+from quest_tpu.ops.sparse_decode import sparse_decode_attention
+from quest_tpu.ops.topk import select_pages
+
+from tests.test_attention_kernels import flat_to_packed, make_packed
+
+SWEEP_N = int(os.environ.get("QT_SWEEP_N", "8"))
+SEED = int(os.environ.get("QT_SWEEP_SEED", "20260817"))
+
+PAGES = [4, 8, 16, 32]
+DIMS = [64, 128]
+GROUPS = [1, 2, 4, 8]
+
+
+def _tol(dtype):
+    # bf16 KV: ~3 decimal digits through an online softmax; f32: tight.
+    return dict(rtol=2e-2, atol=2e-2) if dtype == jnp.bfloat16 else \
+        dict(rtol=2e-3, atol=2e-3)
+
+
+def _sparse_cases():
+    rng = np.random.default_rng(SEED)
+    cases = []
+    for i in range(SWEEP_N):
+        page = int(rng.choice(PAGES))
+        D = int(rng.choice(DIMS))
+        G = int(rng.choice(GROUPS))
+        Hkv = int(rng.choice([1, 2, 4]))
+        B = int(rng.integers(1, 4))
+        seqs = [int(rng.integers(1, 1200)) for _ in range(B)]
+        budget = int(rng.integers(2, 33))
+        ppb = int(rng.choice([1, 2, 4, 8]))
+        nslot = int(rng.choice([2, 3, 4]))
+        dt = jnp.bfloat16 if rng.random() < 0.5 else jnp.float32
+        cases.append((i, page, D, G, Hkv, B, tuple(seqs), budget, ppb,
+                      nslot, dt))
+    return cases
+
+
+@pytest.mark.parametrize(
+    "i,page,D,G,Hkv,B,seqs,budget,ppb,nslot,dt", _sparse_cases(),
+    ids=lambda v: str(v) if not hasattr(v, "dtype") else v.dtype.name
+    if hasattr(v, "name") else str(v))
+def test_sparse_decode_sweep(i, page, D, G, Hkv, B, seqs, budget, ppb,
+                             nslot, dt):
+    rng = np.random.default_rng(SEED * 1000 + i)
+    Hq = G * Hkv
+    P = max((s + page - 1) // page for s in seqs) + int(rng.integers(0, 4))
+    kv = rng.standard_normal((B, Hkv, P, 2, page, D)).astype(np.float32)
+    kv_pages = jnp.asarray(kv, dt)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    seq = jnp.asarray(np.array(seqs, np.int32))
+    sm = 1.0 / np.sqrt(D)
+
+    scores = jnp.asarray(rng.standard_normal((B, Hkv, P)).astype(np.float32))
+    idx, num_valid = select_pages(scores, seq, page, budget)
+
+    want = sparse_decode_attention_reference(
+        q, kv_pages[:, :, :, 0].astype(jnp.float32),
+        kv_pages[:, :, :, 1].astype(jnp.float32), idx, num_valid, seq, sm)
+    got = sparse_decode_attention(q, kv_pages, idx, num_valid, seq,
+                                  sm_scale=sm, pages_per_block=ppb,
+                                  num_slots=nslot)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **_tol(dt))
+
+
+def _dense_cases():
+    rng = np.random.default_rng(SEED + 1)
+    cases = []
+    for i in range(max(SWEEP_N // 2, 4)):
+        page = int(rng.choice(PAGES))
+        D = int(rng.choice(DIMS))
+        G = int(rng.choice(GROUPS))
+        Hkv = int(rng.choice([1, 2, 4]))
+        B = int(rng.integers(1, 4))
+        seqs = [int(rng.integers(1, 900)) for _ in range(B)]
+        bt = int(rng.choice([16, 32, 64, 128]))
+        dt = jnp.bfloat16 if rng.random() < 0.5 else jnp.float32
+        cases.append((i, page, D, G, Hkv, B, tuple(seqs), bt, dt))
+    return cases
+
+
+@pytest.mark.parametrize("i,page,D,G,Hkv,B,seqs,bt,dt", _dense_cases(),
+                         ids=str)
+def test_dense_decode_sweep(i, page, D, G, Hkv, B, seqs, bt, dt):
+    rng = np.random.default_rng(SEED * 2000 + i)
+    Hq = G * Hkv
+    T = max(seqs) + int(rng.integers(0, 2 * page))
+    k = rng.standard_normal((B, Hkv, T, D)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, T, D)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    seq = jnp.asarray(np.array(seqs, np.int32))
+    sm = 1.0 / np.sqrt(D)
+
+    want = dense_decode_attention_reference(
+        q, jnp.asarray(k), jnp.asarray(v), seq, sm)
+    got = dense_decode_attention(
+        q, flat_to_packed(jnp.asarray(k), jnp.asarray(v), page).astype(dt),
+        seq, sm_scale=sm, block_t=bt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **_tol(dt))
+
+
+def _prefill_cases():
+    rng = np.random.default_rng(SEED + 2)
+    cases = []
+    for i in range(max(SWEEP_N // 2, 4)):
+        page = int(rng.choice([4, 8, 16]))
+        D = int(rng.choice(DIMS))
+        G = int(rng.choice(GROUPS))
+        Hkv = int(rng.choice([1, 2]))
+        T = int(rng.integers(1, 160))
+        offset = int(rng.integers(0, 90))
+        bq = int(rng.choice([16, 32, 64]))
+        bk = int(rng.choice([16, 32, 64]))
+        dt = jnp.bfloat16 if rng.random() < 0.5 else jnp.float32
+        cases.append((i, page, D, G, Hkv, T, offset, bq, bk, dt))
+    return cases
+
+
+@pytest.mark.parametrize("i,page,D,G,Hkv,T,offset,bq,bk,dt",
+                         _prefill_cases(), ids=str)
+def test_prefill_sweep(i, page, D, G, Hkv, T, offset, bq, bk, dt):
+    rng = np.random.default_rng(SEED * 3000 + i)
+    B = 1
+    Hq = G * Hkv
+    Tkv = offset + T + int(rng.integers(0, 12))
+    k = jnp.asarray(rng.standard_normal((B, Hkv, Tkv, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Hkv, Tkv, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, D)).astype(np.float32))
+    q_off = jnp.asarray([offset], jnp.int32)
+    kv_lens = jnp.asarray([offset + T], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+
+    want = prefill_attention_reference(q, k, v, q_off, kv_lens, sm)
+    got = prefill_attention(q, flat_to_packed(k, v, page).astype(dt),
+                            q_off, kv_lens, sm_scale=sm, block_q=bq,
+                            block_k=bk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **_tol(dt))
