@@ -105,6 +105,13 @@ class QuestConfig:
     # every sequence's page count is far above the budget — see
     # ops/topk.py:select_pages for the failure mode on short rows.
     topk_method: str = "exact"
+    # Run decode attention through the fused megakernel
+    # (ops/fused_decode.py: estimate -> exact in-kernel top-k ->
+    # gather -> flash decode in ONE Pallas call, overlapping the
+    # metadata and gather DMA streams) instead of the 3-call pipeline.
+    # Exact-selection semantics; requires per_kv_head selection and a
+    # pool of >= 128 pages (models/llama.py gates and falls back).
+    fused_decode: bool = False
     # Physical-pool allocation granularity, in pages. The shared data
     # pool (kv/paged_kv.py) is handed out in blocks of this many
     # CONTIGUOUS pages, so the per-slot page table is tiny

@@ -41,6 +41,7 @@ from quest_tpu.kv.paged_kv import (PagedKVCache, append_decode_at,
 from quest_tpu.models.quantize import qdot
 from quest_tpu.ops.dense_decode import dense_decode_attention
 from quest_tpu.ops.estimate import page_scores
+from quest_tpu.ops.fused_decode import fused_sparse_decode
 from quest_tpu.ops.prefill import prefill_attention
 from quest_tpu.ops.rms_norm import rms_norm
 from quest_tpu.ops.rope import apply_rope, compute_rope_params
@@ -132,6 +133,17 @@ class QuestModel:
         cfg, quest = self.cfg, self.quest
         sm = 1.0 / math.sqrt(cfg.head_dim)
 
+        if (use_sparse and quest.fused_decode
+                and quest.selection == "per_kv_head"
+                and cache.k_max.shape[3] >= 128):
+            with jax.named_scope("quest_fused_decode"):
+                return fused_sparse_decode(
+                    q, cache.kv_pages, cache.k_max, cache.k_min,
+                    seq_lens, sm_scale=sm,
+                    budget_pages=quest.page_budget,
+                    group_agg=quest.group_agg, layer=layer,
+                    block_tab=cache.block_tab,
+                    block_pages=cache.block_pages)
         if use_sparse:
             with jax.named_scope("quest_estimate"):
                 # XLA einsum, NOT ops.estimate.page_scores_kernel: the

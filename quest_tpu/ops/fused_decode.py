@@ -148,13 +148,22 @@ def _compact_ids(sel, slot, Kp):
 
 
 def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, agg, sm_scale,
-            meta_ref, qc_ref, kmax_hbm, kmin_hbm, kv_hbm, o_ref,
-            mbuf, msem, gbuf, gsem, scores_scr, idx_scr, ls_scr):
+            layer, bp2, meta_ref, tab_ref, qc_ref, kmax_hbm, kmin_hbm,
+            kv_hbm, o_ref, mbuf, msem, gbuf, gsem, scores_scr, idx_scr,
+            ls_scr):
     t = pl.program_id(0)
     T = pl.num_programs(0)
     fh = t // nbm                 # flat (batch, head) being SCORED
     mj = t % nbm
     HT = T // nbm - 1             # real flat heads (one tail head)
+    # Shared whole-model pool: a static layer index reads the
+    # persistent buffers zero-copy (kv loses its batch axis — slots
+    # share physical pages through the block table, kv/paged_kv.py).
+    shared = layer is not None
+    if shared:
+        kmax_hbm = kmax_hbm.at[layer]
+        kmin_hbm = kmin_hbm.at[layer]
+        kv_hbm = kv_hbm.at[layer]
 
     def meta_start(ss):
         # Issue metadata block for flat step ss into slot ss % nms.
@@ -229,9 +238,13 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, agg, sm_scale,
         gs = fh % ngs
         for i in range(K):
             gpid = idx_scr[par, i]
+            # Logical -> physical page id through the per-slot block
+            # table (identity table in per-layer mode).
+            phys = tab_ref[bb, gpid // bp2] * bp2 + gpid % bp2
+            src = (kv_hbm.at[kk, phys] if shared
+                   else kv_hbm.at[bb, kk, phys])
             pltpu.make_async_copy(
-                kv_hbm.at[bb, kk, gpid],
-                gbuf.at[gs, i], gsem.at[gs]).start()
+                src, gbuf.at[gs, i], gsem.at[gs]).start()
 
     # --- one head behind: flash-decode the gathered selection --------
     dh = fh - 1
@@ -275,17 +288,22 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, agg, sm_scale,
 
 @functools.partial(jax.jit, static_argnames=(
     "sm_scale", "budget_pages", "group_agg", "block_p", "meta_slots",
-    "gather_slots", "interpret"))
+    "gather_slots", "interpret", "layer", "block_pages"))
 def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
                         sm_scale: float, budget_pages: int,
                         group_agg: str = "sum", block_p: int = 128,
                         meta_slots: int = 6, gather_slots: int = 2,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        layer: int | None = None,
+                        block_tab=None, block_pages: int | None = None):
     """Full Quest decode-attention pipeline as one fused kernel.
 
     Args:
       q: [B, Hq, D] current decode query (un-scaled).
-      kv_pages: [B, Hkv, P, 2, page, D] packed paged cache.
+      kv_pages: [B, Hkv, P, 2, page, D] packed paged cache — or the
+        whole-model SHARED pool [L, Hkv, NP, 2, page, D] with a static
+        ``layer`` (zero-copy read; requires ``block_tab``/
+        ``block_pages``; k_max/k_min are then [L, B, Hkv, P, D]).
       k_max/k_min: [B, Hkv, P, D] per-page metadata.
       seq_lens: [B] int32 lengths including the current token.
       sm_scale: softmax scale.
@@ -301,7 +319,13 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
     if interpret is None:
         interpret = use_interpret()
     B, Hq, D = q.shape
-    _, Hkv, P, _, page, _ = kv_pages.shape
+    if layer is None:
+        _, Hkv, P, _, page, _ = kv_pages.shape
+    else:
+        assert block_tab is not None and block_pages is not None, (
+            "shared whole-pool mode needs the block table")
+        _, Hkv, _, _, page, _ = kv_pages.shape
+        P = k_max.shape[3]
     G = Hq // Hkv
     Gp = round_up(G, 16)
     K = budget_pages
@@ -328,13 +352,21 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
                       ((seq_lens - 1) % page + 1).astype(jnp.int32)],
                      axis=1)                        # [B, 3]
 
+    if block_tab is None:
+        # Identity translation: one "block" spanning the whole pool.
+        bp2 = P
+        tab = jnp.zeros((B, 1), jnp.int32)
+    else:
+        bp2 = block_pages
+        tab = block_tab.astype(jnp.int32)
+
     def qc_index(t, *_):
         # Block fh of qc2 holds rows [qc(fh-1), qc(fh)]: the lagged
         # decode (head fh-1) reads row 0, scoring (head fh) row 1.
         return (t // nbm, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=((HT + 1) * nbm,),
         in_specs=[
             pl.BlockSpec((1, 2, 2 * Gp, D), qc_index),
@@ -365,13 +397,13 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
 
     out = pl.pallas_call(
         functools.partial(_kernel, page, D, K, Kp, G, Gp, Hkv, nbm, bp,
-                          nms, ngs, group_agg, sm_scale),
+                          nms, ngs, group_agg, sm_scale, layer, bp2),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(meta, qc2, k_max, k_min, kv_pages)
+    )(meta, tab, qc2, k_max, k_min, kv_pages)
 
     return out[:, :, :G, :].reshape(B, Hq, D)

@@ -111,3 +111,42 @@ def test_fused_max_agg_and_dense_equivalence():
     want = dense_decode_attention_reference(q, k_flat, v_flat, seq, sm)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_engine_fused_flag_matches_unfused():
+    """Model decode through the shared whole-pool cache: the fused
+    megakernel (layer + block-table mode) must reproduce the unfused
+    engine path's logits (same exact selection; tiny numeric slack for
+    the different matmul groupings)."""
+    import dataclasses
+
+    import jax
+
+    from quest_tpu.config import ModelConfig, QuestConfig
+    from quest_tpu.kv.paged_kv import init_cache
+    from quest_tpu.models.llama import QuestModel, init_params
+
+    cfg = ModelConfig(vocab_size=128, hidden_size=64,
+                      intermediate_size=128, num_layers=3, num_heads=4,
+                      num_kv_heads=2, head_dim=32, dtype=jnp.float32)
+    quest = QuestConfig(page_size=4, token_budget=128, max_seq_len=1024,
+                        skip_layers=1, kv_dtype=jnp.float32)
+    assert quest.max_pages >= 128  # fused path engages
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, 128, size=(2, 600)).astype(np.int32)
+    dec = rng.integers(0, 128, size=(4, 2)).astype(np.int32)
+
+    outs = []
+    for fused in (False, True):
+        q2 = dataclasses.replace(quest, fused_decode=fused)
+        model = QuestModel(cfg, q2)
+        cache = init_cache(cfg, q2, batch_size=2)
+        _, cache = model.prefill_last(params, cache, jnp.asarray(toks))
+        step_logits = []
+        for t in range(dec.shape[0]):
+            lg, cache = model.decode_step(params, cache,
+                                          jnp.asarray(dec[t]))
+            step_logits.append(np.asarray(lg))
+        outs.append(np.stack(step_logits))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-3, atol=2e-3)
