@@ -108,5 +108,51 @@ def main():
     print("ALL OK", flush=True)
 
 
+def fused():
+    """Fused megakernel vs oracle, Mosaic-compiled on the chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from quest_tpu.ops.estimate import page_scores
+    from quest_tpu.ops.fused_decode import fused_sparse_decode
+    from quest_tpu.ops.reference import sparse_decode_attention_reference
+    from quest_tpu.ops.topk import select_pages
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    rng = np.random.default_rng(1)
+
+    def relerr(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+
+    cases = [
+        ("mha", 1, 8, 8, 128, 16, 256, 32, [256 * 16 - 5]),
+        ("gqa", 2, 8, 2, 128, 16, 256, 32, [3900, 700]),
+        ("short", 1, 4, 4, 128, 16, 128, 64, [500]),
+    ]
+    for name, B, Hq, Hkv, D, page, P, S, seqs in cases:
+        kv = jnp.asarray(rng.standard_normal(
+            (B, Hkv, P, 2, page, D)).astype(np.float32), jnp.bfloat16)
+        q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+        seq = jnp.asarray(seqs, jnp.int32)
+        sm = 1.0 / np.sqrt(D)
+        kmax = kv[:, :, :, 0].max(axis=3)
+        kmin = kv[:, :, :, 0].min(axis=3)
+        got = fused_sparse_decode(q, kv, kmax, kmin, seq, sm_scale=sm,
+                                  budget_pages=S, interpret=False)
+        scores = page_scores(q, kmax, kmin, group_agg="sum")
+        idx, nv = select_pages(scores, seq, page, S)
+        want = sparse_decode_attention_reference(
+            q, kv[:, :, :, 0].astype(jnp.float32),
+            kv[:, :, :, 1].astype(jnp.float32), idx, nv, seq, sm)
+        e = relerr(got, want)
+        print(f"fused {name}: rel_err {e:.2e}", flush=True)
+        assert e < 2e-2, (name, e)
+    print("FUSED OK", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "fused":
+        fused()
+    else:
+        main()

@@ -28,6 +28,11 @@ class QuantizedLinear:
     q: jnp.ndarray                 # int8 [..., in, out] (int4: [..., in/2, out])
     s: jnp.ndarray                 # f32  [..., 1, out]
     bits: int = dataclasses.field(default=8, metadata=dict(static=True))
+    # AWQ activation fold (models/awq.py): the stored q/s quantize
+    # W * (1/inv_s) per input channel; qdot multiplies the activation
+    # by inv_s [..., in] so the product is unchanged while salient
+    # channels round with finer granularity. None = plain RTN.
+    inv_s: Any = None
 
 
 QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
@@ -61,7 +66,10 @@ def dequantize_weight(qw: QuantizedLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
         lo = (q << 4) >> 4          # sign-extend low nibble (arith shift)
         hi = q >> 4                  # sign-extend high nibble
         q = jnp.concatenate([lo, hi], axis=-2)   # block-split pack
-    return (q.astype(jnp.float32) * qw.s).astype(dtype)
+    w = q.astype(jnp.float32) * qw.s
+    if qw.inv_s is not None:        # effective weight incl. AWQ fold
+        w = w * qw.inv_s[..., :, None]
+    return w.astype(dtype)
 
 
 def qdot(x: jnp.ndarray, w, dtype=None) -> jnp.ndarray:
@@ -73,6 +81,8 @@ def qdot(x: jnp.ndarray, w, dtype=None) -> jnp.ndarray:
     nibble halves of the block-split pack (int8-speed, half the
     weight memory).
     """
+    if hasattr(w, "record_and_matmul"):   # AWQ calibration pass (eager)
+        return w.record_and_matmul(x)
     if not isinstance(w, QuantizedLinear):
         return x @ w
     dtype = dtype or x.dtype
@@ -83,6 +93,8 @@ def qdot(x: jnp.ndarray, w, dtype=None) -> jnp.ndarray:
     # >6 GB to spare. Tying the packed weights to x forces just-in-time
     # dequant and buffer reuse across layers.
     wq, x = jax.lax.optimization_barrier((w.q, x))
+    if w.inv_s is not None:
+        x = x * w.inv_s.astype(x.dtype)
     if w.bits == 4:
         half = wq.shape[-2]
         lo = (((wq << 4) >> 4).astype(jnp.float32) * w.s).astype(dtype)
