@@ -55,6 +55,15 @@ def main():
     ap.add_argument("--quantize", type=int, default=0, choices=[0, 4, 8],
                     help="weight-only quantization bits (the reference's "
                          "2.23x e2e row uses 4-bit AWQ weights)")
+    ap.add_argument("--topk", default="exact",
+                    choices=["exact", "exact_fast", "approx"],
+                    help="page-selection method (QuestConfig.topk_method)")
+    ap.add_argument("--meta-dtype", default="kv", choices=["kv", "fp8"],
+                    help="min/max-Key metadata dtype (fp8 halves the "
+                         "estimate's HBM traffic — the serving config)")
+    ap.add_argument("--fused", action="store_true",
+                    help="decode through the fused megakernel "
+                         "(ops/fused_decode.py)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke runs)")
     args = ap.parse_args()
@@ -86,7 +95,11 @@ def main():
                         max_seq_len=(ctx + 2 * args.decode_tokens
                                      + 2 + args.page),
                         skip_layers=args.skip_layers,
-                        kv_dtype=kv_dtype)
+                        kv_dtype=kv_dtype,
+                        meta_dtype=(jnp.float8_e4m3fn
+                                    if args.meta_dtype == "fp8" else None),
+                        topk_method=args.topk,
+                        fused_decode=args.fused)
     log(f"model={args.model} L={cfg.num_layers} Hq={cfg.num_heads} "
         f"Hkv={cfg.num_kv_heads} ctx={ctx} budget={budget} "
         f"backend={jax.default_backend()}")
@@ -136,6 +149,8 @@ def main():
         "model": args.model, "layers": cfg.num_layers, "ctx": ctx,
         "budget": budget, "batch": args.batch,
         "quantize_bits": args.quantize, "kv_dtype": args.kv_dtype,
+        "meta_dtype": args.meta_dtype, "topk": args.topk,
+        "fused": bool(args.fused),
         "prefill_ms": round(t_prefill * 1e3, 1),
         "decode_ms_per_token": round(t_decode * 1e3, 3),
         "decode_tokens_per_s": round(toks_per_s, 1),
