@@ -150,3 +150,74 @@ def test_engine_fused_flag_matches_unfused():
             step_logits.append(np.asarray(lg))
         outs.append(np.stack(step_logits))
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-3, atol=2e-3)
+
+
+def test_fused_fp8_metadata_runs_and_selects_like_unfused():
+    """fp8 (e4m3) metadata through the fused kernel: the fused kernel
+    and the unfused pipeline see the SAME fp8-quantized scores (both
+    upcast q no lower than bf16, ops/estimate.py), so at matched meta
+    dtype the attention outputs must agree."""
+    rng = np.random.default_rng(11)
+    B, Hkv, G, P, page, D, K = 1, 2, 1, 256, 16, 128, 32
+    q, kv_pages, k_max, k_min = _mk(rng, B, Hkv, G, P, page, D,
+                                    jnp.bfloat16)
+    seq = jnp.asarray([3900], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+    f8 = jnp.float8_e4m3fn
+    got8 = fused_sparse_decode(q, kv_pages, k_max.astype(f8),
+                               k_min.astype(f8), seq, sm_scale=sm,
+                               budget_pages=K)
+    # Unfused with the same fp8 metadata and the same bf16 query
+    # rounding as the fused kernel's in-kernel cast.
+    qb = q.astype(jnp.bfloat16).astype(jnp.float32)
+    scores = page_scores(qb, k_max.astype(f8), k_min.astype(f8),
+                         group_agg="sum")
+    idx, nv = select_pages(scores, seq, page, K, method="exact")
+    want = sparse_decode_attention(q, kv_pages, idx, nv, seq,
+                                   sm_scale=sm)
+    err = (np.abs(np.asarray(got8) - np.asarray(want)).max()
+           / (np.abs(np.asarray(want)).max() + 1e-9))
+    assert err < 0.05, err
+
+
+def test_sharded_fused_matches_single_device():
+    """Fused megakernel inside shard_map (tp over KV heads, dp over
+    batch) == single-device fused output."""
+    import jax
+
+    from quest_tpu.config import ModelConfig, QuestConfig, RopeConfig
+    from quest_tpu.kv.paged_kv import init_cache
+    from quest_tpu.models.llama import QuestModel, init_params
+    from quest_tpu.parallel import (init_sharded_cache, make_mesh,
+                                    make_sharded_fns, shard_params)
+
+    cfg = ModelConfig(vocab_size=256, hidden_size=64,
+                      intermediate_size=128, num_layers=2, num_heads=8,
+                      num_kv_heads=4, head_dim=16, rope=RopeConfig(),
+                      dtype=jnp.float32)
+    quest = QuestConfig(page_size=4, token_budget=96, max_seq_len=1024,
+                        skip_layers=1, kv_dtype=jnp.float32,
+                        fused_decode=True)
+    assert quest.max_pages >= 128
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    B = 2
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, 256, size=(B, 500)).astype(np.int32)
+    lens = np.full((B,), 500, np.int32)
+
+    model = QuestModel(cfg, quest)
+    cache0 = init_cache(cfg, quest, B)
+    _, cache0 = model.prefill(params, cache0, jnp.asarray(toks),
+                              jnp.asarray(lens))
+    dec0, cache0 = model.decode_step(params, cache0,
+                                     jnp.asarray([3] * B, jnp.int32))
+
+    mesh = make_mesh(2, 2)
+    prefill_fn, decode_fn = make_sharded_fns(cfg, quest, mesh)
+    sparams = shard_params(params, mesh)
+    cache = init_sharded_cache(cfg, quest, mesh, B)
+    _, cache = prefill_fn(sparams, cache, jnp.asarray(toks),
+                          jnp.asarray(lens))
+    dec, cache = decode_fn(sparams, cache, jnp.asarray([3] * B, jnp.int32))
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(dec0),
+                               rtol=2e-4, atol=2e-4)
