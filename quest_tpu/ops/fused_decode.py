@@ -147,10 +147,11 @@ def _compact_ids(sel, slot, Kp):
     return acc
 
 
-def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, agg, sm_scale,
-            layer, bp2, meta_ref, tab_ref, qc_ref, kmax_hbm, kmin_hbm,
-            kv_hbm, o_ref, mbuf, msem, gbuf, gsem, scores_scr, idx_scr,
-            ls_scr):
+def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, agg,
+            sm_scale, layer, bp2, meta_ref, tab_ref, qc_ref, kmax_hbm,
+            kmin_hbm, kv_hbm, o_ref, mbuf, msem, gbuf, gsem, scores_scr,
+            idx_scr, ls_scr):
+    gpps = K // gsm               # gather pages per semaphore stripe
     t = pl.program_id(0)
     T = pl.num_programs(0)
     fh = t // nbm                 # flat (batch, head) being SCORED
@@ -244,7 +245,8 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, agg, sm_scale,
             src = (kv_hbm.at[kk, phys] if shared
                    else kv_hbm.at[bb, kk, phys])
             pltpu.make_async_copy(
-                src, gbuf.at[gs, i], gsem.at[gs]).start()
+                src, gbuf.at[gs, i],
+                gsem.at[gs, min(i // gpps, gsm - 1)]).start()
 
     # --- one head behind: flash-decode the gathered selection --------
     dh = fh - 1
@@ -253,8 +255,11 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, agg, sm_scale,
         bb = dh // Hkv
         kk = dh % Hkv
         gs = dh % ngs
-        pltpu.make_async_copy(gbuf.at[gs], gbuf.at[gs],
-                              gsem.at[gs]).wait()
+        for s in range(gsm):
+            n = K - s * gpps if s == gsm - 1 else gpps
+            sl = pl.ds(s * gpps, n)
+            pltpu.make_async_copy(gbuf.at[gs, sl], gbuf.at[gs, sl],
+                                  gsem.at[gs, s]).wait()
         num_pages = meta_ref[bb, 0]
         num_valid = jnp.minimum(jnp.int32(K), num_pages)
         last_len = meta_ref[bb, 2]
@@ -288,11 +293,12 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, agg, sm_scale,
 
 @functools.partial(jax.jit, static_argnames=(
     "sm_scale", "budget_pages", "group_agg", "block_p", "meta_slots",
-    "gather_slots", "interpret", "layer", "block_pages"))
+    "gather_slots", "gather_sems", "interpret", "layer", "block_pages"))
 def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
                         sm_scale: float, budget_pages: int,
                         group_agg: str = "sum", block_p: int = 128,
                         meta_slots: int = 6, gather_slots: int = 2,
+                        gather_sems: int = 1,
                         interpret: bool | None = None,
                         layer: int | None = None,
                         block_tab=None, block_pages: int | None = None):
@@ -338,6 +344,7 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
     nbm = P // bp
     nms = min(meta_slots, nbm * 2)
     ngs = gather_slots
+    gsm = max(1, min(gather_sems, K))
     HT = B * Hkv
 
     qf = q.astype(jnp.float32).reshape(B, Hkv, G, D)
@@ -380,7 +387,7 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
             pltpu.VMEM((nms, 2, bp, D), k_max.dtype),
             pltpu.SemaphoreType.DMA((nms,)),
             pltpu.VMEM((ngs, K, 2, page, D), kv_pages.dtype),
-            pltpu.SemaphoreType.DMA((ngs,)),
+            pltpu.SemaphoreType.DMA((ngs, gsm)),
             pltpu.VMEM((nbm, bp), jnp.float32),
             pltpu.VMEM((2, Kp), jnp.int32),
             pltpu.SMEM((2, 1), jnp.int32),
@@ -397,7 +404,8 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
 
     out = pl.pallas_call(
         functools.partial(_kernel, page, D, K, Kp, G, Gp, Hkv, nbm, bp,
-                          nms, ngs, group_agg, sm_scale, layer, bp2),
+                          nms, ngs, gsm, group_agg, sm_scale, layer,
+                          bp2),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(

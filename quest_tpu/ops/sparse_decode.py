@@ -58,8 +58,9 @@ from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
 def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
-            kvdiv: int, meta_ref, idx_ref, lastslot_ref, q_ref, kv_hbm,
-            o_ref, kv_buf, sems, m_scr, l_scr, acc_scr):
+            kvdiv: int, nsem: int, meta_ref, idx_ref, lastslot_ref,
+            q_ref, kv_hbm, o_ref, kv_buf, sems, m_scr, l_scr, acc_scr):
+    pps = ppb // nsem             # pages per semaphore stripe
     b = pl.program_id(0)
     t = pl.program_id(1)          # flattened (head, block) step
     B = pl.num_programs(0)
@@ -91,7 +92,10 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
             pltpu.make_async_copy(
                 src,
                 kv_buf.at[slot, i],
-                sems.at[slot],
+                # Contiguous page ranges stripe across nsem semaphores
+                # (probes whether distinct semaphores reach distinct
+                # DMA queues; nsem=1 = one shared semaphore).
+                sems.at[slot, i // pps],
             ).start()
 
     def start_if_valid(ff):
@@ -108,9 +112,11 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
     def wait_copies(slot):
         # DMA semaphores count BYTES (jax pallas mosaic lowering:
         # `wait_dma2` decrements by the dst ref's byte size), so one
-        # wait on the whole slot buffer absorbs all ppb completions.
-        pltpu.make_async_copy(kv_buf.at[slot], kv_buf.at[slot],
-                              sems.at[slot]).wait()
+        # wait per stripe absorbs that stripe's page completions.
+        for s in range(nsem):
+            pltpu.make_async_copy(kv_buf.at[slot, pl.ds(s * pps, pps)],
+                                  kv_buf.at[slot, pl.ds(s * pps, pps)],
+                                  sems.at[slot, s]).wait()
 
     num_valid = meta_ref[b, 0]
     nv_blocks = pl.cdiv(num_valid, ppb)
@@ -183,7 +189,7 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
 @functools.partial(jax.jit, static_argnames=("sm_scale", "pages_per_block",
                                              "num_slots", "interpret",
                                              "layer", "per_q_head",
-                                             "block_pages"))
+                                             "block_pages", "num_sems"))
 def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             seq_lens, *, sm_scale: float,
                             pages_per_block: int = 128,
@@ -192,7 +198,8 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             layer: int | None = None,
                             per_q_head: bool = False,
                             block_tab=None,
-                            block_pages: int | None = None):
+                            block_pages: int | None = None,
+                            num_sems: int = 1):
     """Decode attention over selected pages.
 
     Args:
@@ -235,6 +242,9 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
         kvdiv, G = 1, Hq // Hkv
 
     ppb = min(pages_per_block, S)
+    nsem = num_sems
+    while ppb % nsem:
+        nsem -= 1
     if S % ppb != 0:  # pad slot axis; padded slots are >= num_valid
         S_pad = round_up(S, ppb)
         indices = jnp.pad(indices, ((0, 0), (0, 0), (0, S_pad - S)))
@@ -286,7 +296,7 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
                                lambda b, t, *_: (b, t // nb, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((num_slots, ppb, 2, page, D), kv_pages.dtype),
-            pltpu.SemaphoreType.DMA((num_slots,)),
+            pltpu.SemaphoreType.DMA((num_slots, nsem)),
             pltpu.VMEM((Gp, 128), jnp.float32),
             pltpu.VMEM((Gp, 128), jnp.float32),
             pltpu.VMEM((Gp, D), jnp.float32),
@@ -295,7 +305,7 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
 
     out = pl.pallas_call(
         functools.partial(_kernel, ppb, page, layer, nb, num_slots,
-                          kvdiv),
+                          kvdiv, nsem),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
