@@ -75,15 +75,17 @@ _SIGN_FIX = 0x7FFFFFFF  # see key mapping above
 
 
 def _exact_topk_select(s, num_pages, last_page, K):
-    """Exact top-K selection on a [P_rows, 128] score matrix.
+    """Exact top-K selection on an [SG, P_rows, 128] batch of score
+    matrices (SG heads selected together — the radix descent's serial
+    reduction chain is shared, so its latency amortizes SG-fold).
 
-    Returns (sel, slot, num_valid) where sel marks the selected pages,
-    slot is each selected page's output position in ascending-page
-    order, and num_valid = min(K, num_pages). All vector ops.
+    Returns (sel, slot, num_valid): sel marks the selected pages, slot
+    is each selected page's output position in ascending-page order
+    (per head), num_valid = min(K, num_pages). All vector ops.
     """
-    rows, lanes = s.shape
-    pid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) * lanes
-           + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+    SG, rows, lanes = s.shape
+    pid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) * lanes
+           + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2))
     s = jnp.where(pid < num_pages, s, -jnp.inf)
     s = jnp.where(pid == last_page, jnp.inf, s)
 
@@ -92,9 +94,10 @@ def _exact_topk_select(s, num_pages, last_page, K):
 
     num_valid = jnp.minimum(jnp.int32(K), num_pages)
 
-    # 32-pass 1-bit radix descent for the exact K-th largest key.
+    # 32-pass 1-bit radix descent for the exact K-th largest key,
+    # batched over the SG heads ([SG,1,1] per-head state).
     active = jnp.ones(s.shape, jnp.bool_)
-    k_rem = num_valid
+    k_rem = jnp.full((SG, 1, 1), num_valid, jnp.int32)
     for sh in range(31, -1, -1):
         bit = (jax.lax.shift_right_logical(key, jnp.int32(sh))
                & jnp.int32(1)) == 1
@@ -103,16 +106,17 @@ def _exact_topk_select(s, num_pages, last_page, K):
         # half" at the sign bit is bit==0, everywhere else bit==1.
         bit_hi = jnp.logical_not(bit) if sh == 31 else bit
         hi = jnp.logical_and(active, bit_hi)
-        c = jnp.sum(hi.astype(jnp.int32))
+        c = jnp.sum(hi.astype(jnp.int32), axis=(1, 2), keepdims=True)
         go_hi = c >= k_rem
         active = jnp.where(go_hi, hi,
                            jnp.logical_and(active,
                                            jnp.logical_not(bit_hi)))
         k_rem = jnp.where(go_hi, k_rem, k_rem - c)
 
-    # active == {key == T}; include the k_rem lowest-page-id ties —
-    # the same tie policy as lax.top_k (earlier index wins).
-    thr = jnp.max(jnp.where(active, key, jnp.int32(-2147483648)))
+    # active == {key == T} per head; include the k_rem lowest-page-id
+    # ties — the same tie policy as lax.top_k (earlier index wins).
+    thr = jnp.max(jnp.where(active, key, jnp.int32(-2147483648)),
+                  axis=(1, 2), keepdims=True)
     gt = key > thr
     tie_rank = _page_order_cumsum(active.astype(jnp.int32)) - active
     sel = jnp.logical_or(gt, jnp.logical_and(active, tie_rank < k_rem))
@@ -122,10 +126,11 @@ def _exact_topk_select(s, num_pages, last_page, K):
 
 
 def _page_order_cumsum(x):
-    """Inclusive cumsum of [rows, lanes] i32 in row-major (page) order."""
-    cs = jnp.cumsum(x, axis=1)
-    row_tot = cs[:, -1:]
-    off = jnp.cumsum(row_tot, axis=0) - row_tot
+    """Inclusive cumsum of [SG, rows, lanes] i32 in row-major (page)
+    order, independently per leading index."""
+    cs = jnp.cumsum(x, axis=2)
+    row_tot = cs[:, :, -1:]
+    off = jnp.cumsum(row_tot, axis=1) - row_tot
     return cs + off
 
 
@@ -147,7 +152,7 @@ def _compact_ids(sel, slot, Kp):
     return acc
 
 
-def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, agg,
+def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, SG, agg,
             sm_scale, layer, bp2, meta_ref, tab_ref, qc_ref, kmax_hbm,
             kmin_hbm, kv_hbm, o_ref, mbuf, msem, gbuf, gsem, scores_scr,
             idx_scr, ls_scr):
@@ -156,7 +161,7 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, agg,
     T = pl.num_programs(0)
     fh = t // nbm                 # flat (batch, head) being SCORED
     mj = t % nbm
-    HT = T // nbm - 1             # real flat heads (one tail head)
+    HT = T // nbm - SG            # real flat heads (SG tail heads)
     # Shared whole-model pool: a static layer index reads the
     # persistent buffers zero-copy (kv loses its batch axis — slots
     # share physical pages through the block table, kv/paged_kv.py).
@@ -199,7 +204,7 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, agg,
         sl = t % nms
         pltpu.make_async_copy(mbuf.at[sl], mbuf.at[sl],
                               msem.at[sl]).wait()
-        qc = qc_ref[0, 1]                          # [2Gp, D] of head fh
+        qc = qc_ref[0, SG]                         # [2Gp, D] of head fh
         kmax = mbuf[sl, 0].astype(qc.dtype)        # [bp, D]
         kmin = mbuf[sl, 1].astype(qc.dtype)
         sblk = (jax.lax.dot_general(qc[:Gp], kmax,
@@ -215,41 +220,51 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, agg,
         else:
             srow = jnp.sum(jnp.where(row < G, sblk, 0.0), axis=0,
                            keepdims=True)
-        scores_scr[pl.ds(mj, 1), :] = srow         # [1, bp]
+        scores_scr[pl.ds(fh % SG, 1), pl.ds(mj, 1), :] = (
+            srow.reshape(1, 1, -1))
 
-    # --- head complete: exact top-K select + issue gather ------------
-    @pl.when(jnp.logical_and(t < HT * nbm, mj == nbm - 1))
+    # --- group complete: exact top-K select + issue gathers ----------
+    # SG heads select together (batched radix); SG | Hkv so a group
+    # never straddles batch rows (one num_pages per group).
+    @pl.when(jnp.logical_and(
+        t < HT * nbm,
+        jnp.logical_and(fh % SG == SG - 1, mj == nbm - 1)))
     def _():
         bb = fh // Hkv
         num_pages = meta_ref[bb, 0]
         last_page = meta_ref[bb, 1]
         sel, slot, _ = _exact_topk_select(scores_scr[...], num_pages,
                                           last_page, K)
-        par = fh % 2
-        ids = _compact_ids(sel, slot, Kp)
-        idx_scr[pl.ds(par, 1), :] = ids.astype(jnp.int32)
-        pid = (jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
-               * sel.shape[1]
-               + jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1))
-        ls = jnp.sum(jnp.where(
-            jnp.logical_and(sel, pid == last_page), slot, 0))
-        ls_scr[par, 0] = ls
+        par = (fh // SG) % 2
+        pid = (jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
+               * sel.shape[2]
+               + jax.lax.broadcasted_iota(jnp.int32, sel.shape, 2))
+        is_last = jnp.logical_and(sel, pid == last_page)
+        ls_all = jnp.sum(jnp.where(is_last, slot, 0), axis=(1, 2),
+                         keepdims=True)                  # [SG,1,1]
+        for h2 in range(SG):
+            ids = _compact_ids(sel[h2], slot[h2], Kp)
+            idx_scr[pl.ds(par, 1), pl.ds(h2, 1), :] = (
+                ids.astype(jnp.int32).reshape(1, 1, Kp))
+            ls_scr[par, h2] = ls_all[h2, 0, 0]
 
-        kk = fh % Hkv
-        gs = fh % ngs
-        for i in range(K):
-            gpid = idx_scr[par, i]
-            # Logical -> physical page id through the per-slot block
-            # table (identity table in per-layer mode).
-            phys = tab_ref[bb, gpid // bp2] * bp2 + gpid % bp2
-            src = (kv_hbm.at[kk, phys] if shared
-                   else kv_hbm.at[bb, kk, phys])
-            pltpu.make_async_copy(
-                src, gbuf.at[gs, i],
-                gsem.at[gs, min(i // gpps, gsm - 1)]).start()
+        for h2 in range(SG):
+            hh = fh - (SG - 1) + h2
+            kk = hh % Hkv
+            gs = hh % ngs
+            for i in range(K):
+                gpid = idx_scr[par, h2, i]
+                # Logical -> physical page id through the per-slot
+                # block table (identity table in per-layer mode).
+                phys = tab_ref[bb, gpid // bp2] * bp2 + gpid % bp2
+                src = (kv_hbm.at[kk, phys] if shared
+                       else kv_hbm.at[bb, kk, phys])
+                pltpu.make_async_copy(
+                    src, gbuf.at[gs, i],
+                    gsem.at[gs, min(i // gpps, gsm - 1)]).start()
 
-    # --- one head behind: flash-decode the gathered selection --------
-    dh = fh - 1
+    # --- SG heads behind: flash-decode the gathered selection --------
+    dh = fh - SG
     @pl.when(jnp.logical_and(dh >= 0, mj == nbm - 2))
     def _():
         bb = dh // Hkv
@@ -263,8 +278,8 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, agg,
         num_pages = meta_ref[bb, 0]
         num_valid = jnp.minimum(jnp.int32(K), num_pages)
         last_len = meta_ref[bb, 2]
-        par = dh % 2
-        ls = ls_scr[par, 0]
+        par = (dh // SG) % 2
+        ls = ls_scr[par, dh % SG]
 
         qc = qc_ref[0, 0]                          # [2Gp, D] of head dh
         q = (qc[:Gp] + qc[Gp:])                    # relu(q)+min(q,0) = q
@@ -293,12 +308,14 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, agg,
 
 @functools.partial(jax.jit, static_argnames=(
     "sm_scale", "budget_pages", "group_agg", "block_p", "meta_slots",
-    "gather_slots", "gather_sems", "interpret", "layer", "block_pages"))
+    "gather_slots", "gather_sems", "select_group", "interpret", "layer",
+    "block_pages"))
 def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
                         sm_scale: float, budget_pages: int,
                         group_agg: str = "sum", block_p: int = 128,
-                        meta_slots: int = 6, gather_slots: int = 2,
-                        gather_sems: int = 1,
+                        meta_slots: int = 6,
+                        gather_slots: int | None = None,
+                        gather_sems: int = 1, select_group: int = 1,
                         interpret: bool | None = None,
                         layer: int | None = None,
                         block_tab=None, block_pages: int | None = None):
@@ -342,8 +359,12 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
     assert bp % 64 == 0 and P % bp == 0, (
         f"pool pages {P} must be a multiple of block_p {bp} (and 64)")
     nbm = P // bp
+    SG = select_group
+    assert Hkv % SG == 0, (Hkv, SG)   # groups never straddle batch rows
+    assert nbm >= 2
     nms = min(meta_slots, nbm * 2)
-    ngs = gather_slots
+    # Ring must hold one group's gathers plus the one being decoded.
+    ngs = gather_slots if gather_slots is not None else SG + 1
     gsm = max(1, min(gather_sems, K))
     HT = B * Hkv
 
@@ -368,15 +389,15 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
         tab = block_tab.astype(jnp.int32)
 
     def qc_index(t, *_):
-        # Block fh of qc2 holds rows [qc(fh-1), qc(fh)]: the lagged
-        # decode (head fh-1) reads row 0, scoring (head fh) row 1.
+        # Block fh of qc2 holds rows [qc(fh-SG) .. qc(fh)]: the lagged
+        # decode (head fh-SG) reads row 0, scoring (head fh) row SG.
         return (t // nbm, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=((HT + 1) * nbm,),
+        grid=((HT + SG) * nbm,),
         in_specs=[
-            pl.BlockSpec((1, 2, 2 * Gp, D), qc_index),
+            pl.BlockSpec((1, SG + 1, 2 * Gp, D), qc_index),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -388,23 +409,24 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
             pltpu.SemaphoreType.DMA((nms,)),
             pltpu.VMEM((ngs, K, 2, page, D), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((ngs, gsm)),
-            pltpu.VMEM((nbm, bp), jnp.float32),
-            pltpu.VMEM((2, Kp), jnp.int32),
-            pltpu.SMEM((2, 1), jnp.int32),
+            pltpu.VMEM((SG, nbm, bp), jnp.float32),
+            pltpu.VMEM((2, SG, Kp), jnp.int32),
+            pltpu.SMEM((2, SG), jnp.int32),
         ],
     )
 
-    # qc2[i] = [qc(i-1), qc(i)] for i in 0..HT (zeros off both ends),
-    # so each grid block carries both the decode and scoring heads.
+    # qc2[i, s] = qc(i - SG + s) for s in 0..SG (zeros off both ends):
+    # each grid block carries the decode head (row 0) through the
+    # scoring head (row SG).
     qcf = qc.reshape(HT, 2 * Gp, D)
-    z = jnp.zeros((1, 2 * Gp, D), qc.dtype)
-    row0 = jnp.concatenate([z, qcf], axis=0)        # head i-1
-    row1 = jnp.concatenate([qcf, z], axis=0)        # head i
-    qc2 = jnp.stack([row0, row1], axis=1)           # [HT+1, 2, 2Gp, D]
+    z = jnp.zeros((SG, 2 * Gp, D), qc.dtype)
+    ext = jnp.concatenate([z, qcf, z], axis=0)      # ext[i+s] = qc(i-SG+s)
+    qc2 = jnp.stack([ext[s:s + HT + SG] for s in range(SG + 1)],
+                    axis=1)                          # [HT+SG, SG+1, ...]
 
     out = pl.pallas_call(
         functools.partial(_kernel, page, D, K, Kp, G, Gp, Hkv, nbm, bp,
-                          nms, ngs, gsm, group_agg, sm_scale, layer,
+                          nms, ngs, gsm, SG, group_agg, sm_scale, layer,
                           bp2),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),

@@ -42,10 +42,11 @@ def test_exact_topk_select_matches_select_pages():
         num_pages = (seq + page - 1) // page
 
         sel, slot, nv = _exact_topk_select(
-            jnp.asarray(s.reshape(P // 128, 128)),
+            jnp.asarray(s.reshape(1, P // 128, 128)),
             jnp.int32(num_pages), jnp.int32(num_pages - 1), K)
         Kp = ((K + 127) // 128) * 128
-        ids = np.asarray(_compact_ids(sel, slot, Kp)).astype(np.int64)[0]
+        ids = np.asarray(_compact_ids(sel[0], slot[0],
+                                      Kp)).astype(np.int64)[0]
         got = ids[:int(nv)].tolist()
 
         idx, nv2 = select_pages(jnp.asarray(s)[None, None],
@@ -221,3 +222,22 @@ def test_sharded_fused_matches_single_device():
     dec, cache = decode_fn(sparams, cache, jnp.asarray([3] * B, jnp.int32))
     np.testing.assert_allclose(np.asarray(dec), np.asarray(dec0),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("sg", [2, 4])
+def test_select_group_batched_matches_sg1(sg):
+    """Group-batched selection (radix shared across SG heads) must be
+    bit-identical to per-head selection."""
+    rng = np.random.default_rng(21)
+    B, Hkv, G, P, page, D, K = 2, 4, 2, 256, 16, 128, 24
+    q, kv_pages, k_max, k_min = _mk(rng, B, Hkv, G, P, page, D,
+                                    jnp.float32)
+    seq = jnp.asarray([3500, 977], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+    base = fused_sparse_decode(q, kv_pages, k_max, k_min, seq,
+                               sm_scale=sm, budget_pages=K,
+                               select_group=1)
+    got = fused_sparse_decode(q, kv_pages, k_max, k_min, seq,
+                              sm_scale=sm, budget_pages=K,
+                              select_group=sg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
