@@ -134,21 +134,29 @@ def _page_order_cumsum(x):
     return cs + off
 
 
-def _compact_ids(sel, slot, Kp):
+def _compact_ids(sel, slot, Kp, chunk_rows: int = 16):
     """Scatter page ids to their slots: out[1, Kp] f32, ascending page
-    order, zeros at junk slots. 16 one-hot matmuls via one transpose."""
+    order, zeros at junk slots.
+
+    One-hot built as a 3D broadcast compare ([rows,lanes,1] slot vs
+    [1,1,Kp] iota) so the leading dims merge into sublanes layout-free
+    — no cross-lane relayout, no per-row loop; cost is O(P*Kp) VPU
+    compares + a sublane-tree reduction, chunked to cap the [chunk,
+    lanes, Kp] f32 temporary at 1 MB."""
     rows, lanes = sel.shape
-    # [rows,128] -> [128,rows]: columns become static slices.
-    slot_t = jnp.transpose(jnp.where(sel, slot, -1).astype(jnp.int32))
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (lanes, Kp), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
     acc = jnp.zeros((1, Kp), jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.float32, (1, lanes), 1)
-    for r in range(rows):
-        oh = (slot_t[:, r:r + 1] == k_iota).astype(jnp.float32)
-        pids = col + float(r * lanes)
-        acc = acc + jax.lax.dot_general(
-            pids, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    for r0 in range(0, rows, chunk_rows):
+        cr = min(chunk_rows, rows - r0)
+        sl = jnp.where(sel[r0:r0 + cr], slot[r0:r0 + cr],
+                       -1)[:, :, None]               # [cr, lanes, 1]
+        oh = (sl == k_iota).astype(jnp.float32)      # [cr, lanes, Kp]
+        pid = (jax.lax.broadcasted_iota(jnp.int32, (cr, lanes), 0)
+               * lanes + r0 * lanes
+               + jax.lax.broadcasted_iota(jnp.int32, (cr, lanes), 1))
+        contrib = oh * pid[:, :, None].astype(jnp.float32)
+        acc = acc + jnp.sum(contrib.reshape(cr * lanes, Kp), axis=0,
+                            keepdims=True)
     return acc
 
 
