@@ -1,0 +1,97 @@
+"""Slope-timed A/B of the fused decode megakernel's knobs on chip.
+
+Usage: python exp/bench_fused.py [CTX] [SG,GSEMS,GSLOTS,MSLOTS ...]
+Defaults: CTX=32768 and a small grid over select_group / gather_sems /
+gather_slots / meta_slots. Prints one line per config:
+  fused CTX=.. SG=.. gsem=.. gslot=.. mslot=.. <us> (<GB/s effective>)
+plus the unfused pipeline and dense baselines for the same arrays.
+
+Run each invocation in its own process under timeout (a deadlock hangs
+the TPU worker ~30 min; the issue/wait balance is verified in
+interpret mode by tests/test_fused_decode.py, but first Mosaic drives
+stay guarded).
+"""
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from quest_tpu.config import ModelConfig, QuestConfig
+    from quest_tpu.kv.paged_kv import LayerKV, append_prefill, init_cache
+    from quest_tpu.ops.dense_decode import dense_decode_attention
+    from quest_tpu.ops.estimate import page_scores
+    from quest_tpu.ops.fused_decode import fused_sparse_decode
+    from quest_tpu.ops.sparse_decode import sparse_decode_attention
+    from quest_tpu.ops.topk import select_pages
+    from quest_tpu.utils.benchmarking import bench_op
+
+    CTX = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    if len(sys.argv) > 2:
+        grid = [tuple(int(x) for x in a.split(",")) for a in sys.argv[2:]]
+    else:
+        grid = [(1, 1, 2, 6), (1, 2, 3, 6), (2, 1, 3, 6), (4, 1, 5, 6),
+                (4, 2, 5, 8), (1, 1, 3, 8)]
+
+    assert jax.default_backend() == "tpu"
+    B, Hq, Hkv, D, page, BUDGET = 1, 32, 32, 128, 16, 2048
+    model = ModelConfig(num_heads=Hq, num_kv_heads=Hkv, head_dim=D)
+    quest = QuestConfig(page_size=page, token_budget=BUDGET,
+                        max_seq_len=CTX)
+    S = quest.page_budget
+    sm = 1.0 / np.sqrt(D)
+    rng = np.random.default_rng(0)
+    cache = init_cache(model, quest, batch_size=B, num_layers=1)
+    layer = cache.layer(0)
+    CH = 8192
+    fill = jax.jit(append_prefill, donate_argnums=(0,))
+    for off in range(0, CTX, CH):
+        kn = (rng.standard_normal((B, CH, Hkv, D)) * 0.3).astype(np.float32)
+        vn = (rng.standard_normal((B, CH, Hkv, D)) * 0.3).astype(np.float32)
+        layer = fill(layer, jnp.asarray(kn), jnp.asarray(vn))
+        layer = LayerKV(layer.kv_pages, layer.k_max, layer.k_min,
+                        jnp.asarray([off + CH], jnp.int32))
+    seq = jnp.asarray([CTX], jnp.int32)
+    q = jnp.asarray((rng.standard_normal((B, Hq, D)) * 0.3).astype(np.float32))
+    iters, reps = (8, 72), 4
+
+    def fb(x, y):
+        dep = jnp.tanh(jnp.sum(jnp.square(y.astype(jnp.float32)))) * 1e-3
+        return (x + dep.astype(x.dtype)).astype(x.dtype)
+
+    env = (layer.kv_pages, layer.k_max, layer.k_min)
+    t_dense = bench_op(
+        lambda q, e: fb(q, dense_decode_attention(q, e[0], seq,
+                                                  sm_scale=sm)),
+        q, iters=iters, reps=reps, env=env)
+    print(f"dense {t_dense*1e6:8.1f} us", flush=True)
+
+    def unfused(q, e):
+        kv, kmax, kmin = e
+        sc = page_scores(q, kmax, kmin)
+        idx, nv = select_pages(sc, seq, page, S, method="exact")
+        return fb(q, sparse_decode_attention(q, kv, idx, nv, seq,
+                                             sm_scale=sm))
+    t_un = bench_op(unfused, q, iters=iters, reps=reps, env=env)
+    print(f"unfused {t_un*1e6:8.1f} us ({t_dense/t_un:.2f}x)", flush=True)
+
+    total_mb = (2 * Hkv * BUDGET * D * 2
+                + 2 * Hkv * (CTX // page) * D * 2) / 1e6
+    for sg, gsem, gslot, mslot in grid:
+        def fused(q, e, sg=sg, gsem=gsem, gslot=gslot, mslot=mslot):
+            kv, kmax, kmin = e
+            return fb(q, fused_sparse_decode(
+                q, kv, kmax, kmin, seq, sm_scale=sm, budget_pages=S,
+                select_group=sg, gather_sems=gsem, gather_slots=gslot,
+                meta_slots=mslot))
+        t = bench_op(fused, q, iters=iters, reps=reps, env=env)
+        print(f"fused CTX={CTX} SG={sg} gsem={gsem} gslot={gslot} "
+              f"mslot={mslot}: {t*1e6:8.1f} us ({t_dense/t:.2f}x, "
+              f"{total_mb*1e6/t/1e9:.0f} GB/s eff)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,7 +55,12 @@ step verify_fused 900 python exp/verify_drive.py fused || {
   exit 2
 }
 
-# 6. headline bench (fused + unfused + serving configs)
+# 6. fused knob sweep (select_group / gather sems / ring depths)
+step bench_fused_32k 2400 python exp/bench_fused.py 32768
+step bench_fused_128k 2400 python exp/bench_fused.py 131072 \
+  "1,1,2,6" "4,1,5,6" "4,2,5,8"
+
+# 7. headline bench (fused + unfused + serving configs)
 step bench 1800 python bench.py
 step bench_kernels 1800 python scripts/bench_kernels.py
 
