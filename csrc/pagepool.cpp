@@ -33,6 +33,7 @@ struct Pool {
   int64_t total_pages;
   int64_t page_size;
   std::vector<int32_t> free_list;  // LIFO, like the reference free-set
+  std::vector<int32_t> refs;       // per-page refcount (prefix sharing)
   std::vector<Sequence> seqs;
   std::vector<int32_t> free_seq_ids;
   std::mutex mu;
@@ -58,6 +59,7 @@ int64_t qp_create(int64_t total_pages, int64_t page_size, int64_t max_seqs) {
   p->total_pages = total_pages;
   p->page_size = page_size;
   p->free_list.reserve(total_pages);
+  p->refs.assign(total_pages, 0);
   // LIFO: push descending so low page ids are handed out first
   for (int64_t i = total_pages - 1; i >= 0; --i)
     p->free_list.push_back(static_cast<int32_t>(i));
@@ -111,11 +113,44 @@ int32_t qp_seq_release(int64_t h, int32_t seq_id) {
       !p->seqs[seq_id].live)
     return -1;
   Sequence& s = p->seqs[seq_id];
-  for (int32_t pg : s.pages) p->free_list.push_back(pg);
+  // Pages are refcounted (prefix sharing, qp_pages_retain): only pages
+  // reaching zero return to the free list.
+  for (int32_t pg : s.pages)
+    if (--p->refs[pg] == 0) p->free_list.push_back(pg);
   s.pages.clear();
   s.len = 0;
   s.live = false;
   p->free_seq_ids.push_back(seq_id);
+  return 0;
+}
+
+// Increment the refcount of owned (ref > 0) pages — a shared-prefix
+// hold that outlives the owning sequence. Validates first; on any
+// invalid page nothing is modified. Returns 0 / -1.
+int32_t qp_pages_retain(int64_t h, const int32_t* pages, int64_t n) {
+  Pool* p = get(h);
+  if (!p) return -1;
+  std::lock_guard<std::mutex> l(p->mu);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t pg = pages[i];
+    if (pg < 0 || pg >= p->total_pages || p->refs[pg] <= 0) return -1;
+  }
+  for (int64_t i = 0; i < n; ++i) ++p->refs[pages[i]];
+  return 0;
+}
+
+// Drop a hold taken with qp_pages_retain (or inherited from a released
+// sequence); pages reaching zero return to the free list.
+int32_t qp_pages_release(int64_t h, const int32_t* pages, int64_t n) {
+  Pool* p = get(h);
+  if (!p) return -1;
+  std::lock_guard<std::mutex> l(p->mu);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t pg = pages[i];
+    if (pg < 0 || pg >= p->total_pages || p->refs[pg] <= 0) return -1;
+  }
+  for (int64_t i = 0; i < n; ++i)
+    if (--p->refs[pages[i]] == 0) p->free_list.push_back(pages[i]);
   return 0;
 }
 
@@ -135,8 +170,10 @@ int64_t qp_seq_extend(int64_t h, int32_t seq_id, int64_t n_tokens) {
                  static_cast<int64_t>(s.pages.size());
   if (need > static_cast<int64_t>(p->free_list.size())) return -1;
   for (int64_t i = 0; i < need; ++i) {
-    s.pages.push_back(p->free_list.back());
+    int32_t pg = p->free_list.back();
     p->free_list.pop_back();
+    p->refs[pg] = 1;
+    s.pages.push_back(pg);
   }
   s.len = new_len;
   return need;

@@ -73,6 +73,9 @@ class _Slot:
     rng: np.random.Generator
     sid: int                  # PagePool sequence id
     prefill_pos: int          # prompt tokens written so far
+    # Prefix cache: physical blocks borrowed from the registry (this
+    # slot holds one pages_retain on them until it finishes).
+    shared_blocks: List[int] = dataclasses.field(default_factory=list)
 
     @property
     def prefilling(self) -> bool:
@@ -106,7 +109,7 @@ class ContinuousBatchingEngine:
                  seed: int = 0, burst: int = 16,
                  total_pages: Optional[int] = None,
                  prefill_chunk: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, prefix_cache_entries: int = 64):
         """``mesh``: optional jax.sharding.Mesh (parallel/mesh.py). The
         step functions then run inside shard_map (tp over heads/vocab,
         dp over batch slots); each dp group owns an independent slice of
@@ -169,6 +172,22 @@ class ContinuousBatchingEngine:
         self._hlens = np.zeros((max_batch,), np.int64)
         self._prefer_prefill = True
         self.last_tick: Optional[str] = None   # introspection for tests
+        # Prefix cache (vLLM-style prompt caching — no reference
+        # counterpart): registry of published block-aligned prompt
+        # prefixes per dp group, LRU-capped; each entry holds one
+        # pages_retain on its physical blocks, so shared KV survives
+        # the donor request. The borrower's per-slot min/max metadata
+        # is recomputed on device from the shared pages at admission
+        # (kv/paged_kv.py:recompute_meta_rows). Mesh mode is excluded:
+        # block ids there are dp-group-local inside shard_map, and the
+        # metadata recompute would need to run under the mesh.
+        self._bpp = bpp
+        self._prefix_cap = 0 if mesh is not None else prefix_cache_entries
+        from collections import OrderedDict
+        self._prefix: List[OrderedDict] = [OrderedDict()
+                                           for _ in range(dp)]
+        self.prefix_hits = 0            # introspection for tests
+        self.prefix_hit_tokens = 0
 
     # ------------------------------------------------------------------
     def _blocks_needed(self, req: Request) -> int:
@@ -197,39 +216,113 @@ class ContinuousBatchingEngine:
         return bool(self.queue) or self.num_active > 0
 
     # ------------------------------------------------------------------
+    def _prefix_chain(self, prompt: List[int]) -> List[int]:
+        """Chain hashes of the prompt's full blocks, capped so at least
+        one prompt token is always freshly prefilled (the slot needs
+        real last-token logits)."""
+        m = (len(prompt) - 1) // self.block_tokens
+        keys, h = [], 0
+        for i in range(m):
+            h = hash((h, tuple(prompt[i * self.block_tokens:
+                                      (i + 1) * self.block_tokens])))
+            keys.append(h)
+        return keys
+
+    def _prefix_lookup(self, g: int, keys: List[int]):
+        """(n_shared_blocks, blocks) — longest registered prefix."""
+        reg = self._prefix[g]
+        for i in range(len(keys), 0, -1):
+            ent = reg.get(keys[i - 1])
+            if ent is not None:
+                reg.move_to_end(keys[i - 1])
+                return i, ent
+        return 0, []
+
     def _admit_slots(self) -> None:
         """Move queued requests into free slots (bookkeeping only; the
         prompt is written by subsequent prefill ticks). FIFO: a large
         request short on blocks also blocks later ones (no starvation).
+        A registered prompt prefix is borrowed instead of re-prefilled:
+        its physical blocks alias into the slot's table row and only
+        the remainder is reserved and written.
         """
         free = [b for b, s in enumerate(self.slots) if s is None]
         while free and self.queue:
             req = self.queue[0]
-            # First free slot whose dp group's allocator has room (FIFO
-            # over requests: the head blocks later ones — no starvation).
-            pick = next((i for i, b in enumerate(free)
-                         if self.pools[self._group(b)].free_pages()
-                         >= self._blocks_needed(req)), None)
+            keys = self._prefix_chain(req.prompt) if self._prefix_cap \
+                else []
+            # First free slot whose dp group's allocator has room for
+            # the UNSHARED remainder (FIFO over requests: the head
+            # blocks later ones — no starvation).
+            pick = hit = None
+            for i, b in enumerate(free):
+                g = self._group(b)
+                n_sh, blocks = self._prefix_lookup(g, keys)
+                if (self.pools[g].free_pages()
+                        >= self._blocks_needed(req) - n_sh):
+                    pick, hit = i, (n_sh, blocks)
+                    break
             if pick is None:
                 break
             self.queue.popleft()
             b = free.pop(pick)
             pool = self.pools[self._group(b)]
+            n_sh, shared = hit
+            shared = list(shared)
+            sh_tokens = n_sh * self.block_tokens
+            if n_sh:
+                pool.pages_retain(shared)       # slot hold until finish
+                self.prefix_hits += 1
+                self.prefix_hit_tokens += sh_tokens
             sid = pool.seq_create()
-            # Reserve the FULL need up front: admitted requests never
-            # wait for memory again.
-            pool.seq_extend(sid, len(req.prompt) + req.max_new_tokens)
+            # Reserve the FULL remaining need up front: admitted
+            # requests never wait for memory again.
+            pool.seq_extend(sid, len(req.prompt) + req.max_new_tokens
+                            - sh_tokens)
             raw, _ = pool.fill_batch_tables([sid], self._table_width,
                                             pad_page=-1)
             row = np.where(raw[0] < 0, 0, raw[0] + 1).astype(np.int32)
+            row = np.concatenate([np.asarray(shared, np.int32) + 1,
+                                  row])[:self._table_width]
             rng = np.random.default_rng(self._seed * 7919 + req.uid)
             self.slots[b] = _Slot(req=req, generated=[], pending=-1,
-                                  rng=rng, sid=sid, prefill_pos=0)
-            self._hlens[b] = 0
+                                  rng=rng, sid=sid, prefill_pos=sh_tokens,
+                                  shared_blocks=shared)
+            self._hlens[b] = sh_tokens
             self.cache = dataclasses.replace(
                 self.cache,
                 block_tab=self.cache.block_tab.at[b].set(jnp.asarray(row)),
-                seq_lens=self.cache.seq_lens.at[b].set(0))
+                seq_lens=self.cache.seq_lens.at[b].set(sh_tokens))
+            if n_sh:
+                # Borrowed pages need this slot's min/max metadata —
+                # derive it on device from the shared KV data.
+                from quest_tpu.kv.paged_kv import recompute_meta_rows
+                self.cache = recompute_meta_rows(
+                    self.cache, jnp.int32(b), n_pages=n_sh * self._bpp)
+
+    def _publish_prefix(self, b: int, s: _Slot) -> None:
+        """Register the completed prompt's full blocks for reuse. Each
+        entry takes its own pages_retain; LRU eviction releases it."""
+        if not self._prefix_cap:
+            return
+        g = self._group(b)
+        reg = self._prefix[g]
+        keys = self._prefix_chain(s.req.prompt)
+        if not keys:
+            return
+        own = self.pools[g].seq_pages(s.sid)
+        blocks = s.shared_blocks + own
+        pool = self.pools[g]
+        for i, key in enumerate(keys, start=1):
+            if key in reg:
+                reg.move_to_end(key)
+                continue
+            ent = blocks[:i]
+            pool.pages_retain(ent)
+            reg[key] = ent
+            while len(reg) > self._prefix_cap:
+                _, old = reg.popitem(last=False)
+                pool.pages_release(old)
 
     # ------------------------------------------------------------------
     def _prefill_tick(self) -> List[StepEvent]:
@@ -265,6 +358,7 @@ class ContinuousBatchingEngine:
             s.prefill_pos += int(new_lens[b])
             self._hlens[b] += int(new_lens[b])
             if not s.prefilling:  # prompt complete -> first token
+                self._publish_prefix(b, s)
                 first = self._sample(logits[b, 0], s.req.temperature, s.rng)
                 s.generated.append(first)
                 s.pending = first
@@ -360,8 +454,12 @@ class ContinuousBatchingEngine:
         if done:
             self.slots[b] = None
             # Recycle: blocks back to the slot's group allocator, table
-            # row to scratch, fill pointer reset.
-            self.pools[self._group(b)].seq_release(slot.sid)
+            # row to scratch, fill pointer reset. Borrowed prefix
+            # blocks drop this slot's hold (the registry keeps its own).
+            pool = self.pools[self._group(b)]
+            if slot.shared_blocks:
+                pool.pages_release(slot.shared_blocks)
+            pool.seq_release(slot.sid)
             self._hlens[b] = 0
             self.cache = dataclasses.replace(
                 self.cache,

@@ -44,6 +44,7 @@ Invariants:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -456,3 +457,29 @@ def append_prefill_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
     kmin = kmin.at[layer, row[:, None], :, wpages].set(
         jnp.swapaxes(wmin.astype(kmin.dtype), 1, 2))
     return PagedKVCache(kv, kmax, kmin, btab, cache.seq_lens)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pages",), donate_argnums=(0,))
+def recompute_meta_rows(cache: PagedKVCache, b, n_pages: int):
+    """Recompute the min/max-Key metadata of slot ``b``'s first
+    ``n_pages`` logical pages from the physical pool.
+
+    Prefix caching aliases physical blocks into a new slot's block
+    table, but metadata is per-slot (k_max/k_min are [L, B, Hkv, P, D])
+    and the donor's rows die with its slot — so a borrower derives the
+    shared pages' metadata from the (immutable, fully-written) shared
+    KV data itself: one gather + page-axis reduce over all layers.
+    ``n_pages`` must cover only FULL pages (block-aligned prefixes
+    guarantee this).
+    """
+    logical = jnp.arange(n_pages)
+    blk = cache.block_tab[b, logical // cache.block_pages]
+    phys = blk * cache.block_pages + logical % cache.block_pages
+    k = cache.kv_pages[:, :, phys, K]        # [L, Hkv, n, page, D]
+    kf = k.astype(jnp.float32)
+    kmax = jnp.max(kf, axis=3).astype(cache.k_max.dtype)
+    kmin = jnp.min(kf, axis=3).astype(cache.k_min.dtype)
+    return dataclasses.replace(
+        cache,
+        k_max=cache.k_max.at[:, b, :, :n_pages].set(kmax),
+        k_min=cache.k_min.at[:, b, :, :n_pages].set(kmin))

@@ -64,6 +64,13 @@ def _load_native():
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32)]
+    for fn in ("qp_pages_retain", "qp_pages_release"):
+        f = getattr(lib, fn, None)
+        if f is None:        # stale .so without the refcount API
+            return None
+        f.restype = ctypes.c_int32
+        f.argtypes = [ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                      ctypes.c_int64]
     _LIB = lib
     return _LIB
 
@@ -88,6 +95,7 @@ class PagePool:
             self._free = list(range(total_pages - 1, -1, -1))
             self._seqs = {}
             self._next_ids = list(range(max_seqs - 1, -1, -1))
+            self._refs = np.zeros((total_pages,), np.int64)
 
     @property
     def is_native(self) -> bool:
@@ -125,8 +133,44 @@ class PagePool:
             assert rc == 0, seq_id
         else:
             s = self._seqs.pop(seq_id)
-            self._free.extend(s["pages"])
+            for pg in s["pages"]:
+                self._refs[pg] -= 1
+                if self._refs[pg] == 0:
+                    self._free.append(pg)
             self._next_ids.append(seq_id)
+
+    def pages_retain(self, pages: Sequence[int]) -> None:
+        """Take a refcount hold on owned pages — a shared-prefix hold
+        that survives the owning sequence's release (prefix caching)."""
+        if self._lib:
+            arr = np.asarray(pages, np.int32)
+            rc = self._lib.qp_pages_retain(
+                self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(arr))
+            if rc != 0:
+                raise ValueError("retain of unowned page")
+        else:
+            if any(self._refs[pg] <= 0 for pg in pages):
+                raise ValueError("retain of unowned page")
+            for pg in pages:
+                self._refs[pg] += 1
+
+    def pages_release(self, pages: Sequence[int]) -> None:
+        """Drop a pages_retain hold; pages reaching zero become free."""
+        if self._lib:
+            arr = np.asarray(pages, np.int32)
+            rc = self._lib.qp_pages_release(
+                self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(arr))
+            if rc != 0:
+                raise ValueError("release of unowned page")
+        else:
+            if any(self._refs[pg] <= 0 for pg in pages):
+                raise ValueError("release of unowned page")
+            for pg in pages:
+                self._refs[pg] -= 1
+                if self._refs[pg] == 0:
+                    self._free.append(pg)
 
     def seq_extend(self, seq_id: int, n_tokens: int) -> int:
         """Returns number of new pages; raises on pool exhaustion."""
@@ -141,7 +185,9 @@ class PagePool:
         if need > len(self._free):
             raise MemoryError("page pool exhausted")
         for _ in range(need):
-            s["pages"].append(self._free.pop())
+            pg = self._free.pop()
+            self._refs[pg] = 1
+            s["pages"].append(pg)
         s["len"] = new_len
         return need
 

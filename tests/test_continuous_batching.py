@@ -234,3 +234,97 @@ def test_sampled_requests_burst_on_device(setup):
     assert all(0 <= t < cfg.vocab_size for v in a.values() for t in v)
     assert a == b                      # same seed -> reproducible
     assert a != c                      # different seed -> diverges
+
+
+def _prefix_quest():
+    # Small blocks (32 tokens) so prompts span several full blocks.
+    return QuestConfig(page_size=8, token_budget=32, max_seq_len=256,
+                       skip_layers=1, kv_dtype=jnp.float32, block_pages=4)
+
+
+def test_prefix_cache_reuses_blocks_and_matches(setup):
+    """A later request with a known prompt prefix borrows the published
+    physical blocks (no re-prefill of the shared region) and generates
+    EXACTLY what an engine without prefix caching generates."""
+    cfg, _, params = setup
+    quest = _prefix_quest()
+    rng = np.random.default_rng(31)
+    prefix = rng.integers(1, 256, size=80).tolist()   # 2 full blocks
+    tail_a = rng.integers(1, 256, size=11).tolist()
+    tail_b = rng.integers(1, 256, size=17).tolist()
+
+    eng = ContinuousBatchingEngine(cfg, quest, params, max_batch=2,
+                                   prefill_bucket=16)
+    out1 = eng.run([Request(uid=0, prompt=prefix + tail_a,
+                            max_new_tokens=6)])
+    assert eng.prefix_hits == 0
+    free_before = eng.pools[0].free_pages()
+    out2 = eng.run([Request(uid=1, prompt=prefix + tail_b,
+                            max_new_tokens=6)])
+    assert eng.prefix_hits == 1
+    assert eng.prefix_hit_tokens == 64      # 2 blocks x 32 tokens
+    # Request 2's prompt is 97 tokens = 3 full blocks: blocks 1-2 were
+    # borrowed (already registered), its own block 3 got published —
+    # exactly one more block held than after request 1.
+    assert eng.pools[0].free_pages() == free_before - 1
+
+    plain = ContinuousBatchingEngine(cfg, quest, params, max_batch=2,
+                                     prefill_bucket=16,
+                                     prefix_cache_entries=0)
+    ref1 = plain.run([Request(uid=0, prompt=prefix + tail_a,
+                              max_new_tokens=6)])
+    ref2 = plain.run([Request(uid=1, prompt=prefix + tail_b,
+                              max_new_tokens=6)])
+    assert plain.prefix_hits == 0
+    assert out1[0] == ref1[0]
+    assert out2[1] == ref2[1]
+
+
+def test_prefix_cache_survives_donor_and_evicts(setup):
+    """Shared blocks outlive the donor request (refcounts); LRU
+    eviction returns registry holds to the pool."""
+    cfg, _, params = setup
+    quest = _prefix_quest()
+    rng = np.random.default_rng(32)
+    eng = ContinuousBatchingEngine(cfg, quest, params, max_batch=2,
+                                   prefill_bucket=16,
+                                   prefix_cache_entries=2)
+    total = eng.pools[0].total_pages
+    pA = rng.integers(1, 256, size=70).tolist()
+    pB = rng.integers(1, 256, size=70).tolist()
+    eng.run([Request(uid=0, prompt=pA, max_new_tokens=3)])
+    held_a = total - eng.pools[0].free_pages()
+    assert held_a > 0                        # registry holds pA blocks
+    # Donor long gone; borrower still reuses its blocks.
+    out = eng.run([Request(uid=1, prompt=pA + [5, 6, 7],
+                           max_new_tokens=4)])
+    assert eng.prefix_hits == 1 and 1 in out
+    # Publishing pB's 2 entries evicts pA's (cap=2, LRU).
+    eng.run([Request(uid=2, prompt=pB, max_new_tokens=3)])
+    eng.run([Request(uid=3, prompt=pB, max_new_tokens=3)])
+    assert eng.prefix_hits == 2
+    # Only pB's registry holds remain.
+    ids = set()
+    for ent in eng._prefix[0].values():
+        ids.update(ent)
+    assert total - eng.pools[0].free_pages() == len(ids)
+
+
+def test_prefix_cache_concurrent_mixed_batch(setup):
+    """Borrower and fresh requests decode side by side correctly."""
+    cfg, _, params = setup
+    quest = _prefix_quest()
+    rng = np.random.default_rng(33)
+    prefix = rng.integers(1, 256, size=40).tolist()   # 1 full block
+    eng = ContinuousBatchingEngine(cfg, quest, params, max_batch=2,
+                                   prefill_bucket=16)
+    eng.run([Request(uid=0, prompt=prefix + [9], max_new_tokens=3)])
+    fresh = rng.integers(1, 256, size=25).tolist()
+    outs = eng.run([
+        Request(uid=1, prompt=prefix + [11, 12], max_new_tokens=5),
+        Request(uid=2, prompt=fresh, max_new_tokens=5),
+    ])
+    assert eng.prefix_hits == 1
+    assert outs[1] == _single_reference(cfg, quest, params,
+                                        prefix + [11, 12], 5)
+    assert outs[2] == _single_reference(cfg, quest, params, fresh, 5)

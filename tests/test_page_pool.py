@@ -97,3 +97,31 @@ def test_native_matches_python_behaviour():
             if rn != "oom":
                 assert pn.seq_len(a) == pp.seq_len(seqs_n[a])
         assert pn.free_pages() == pp.free_pages()
+
+
+def test_page_refcounts_survive_owner_release(pool_kind):
+    """pages_retain holds keep pages allocated after the owning
+    sequence releases (the prefix-cache contract)."""
+    pool = PagePool(total_pages=8, page_size=4, max_seqs=4,
+                    native=pool_kind or None)
+    sid = pool.seq_create()
+    pool.seq_extend(sid, 16)           # 4 pages
+    pages = pool.seq_pages(sid)
+    shared = pages[:2]
+    pool.pages_retain(shared)          # registry hold
+    pool.pages_retain(shared)          # borrower hold
+    pool.seq_release(sid)
+    # 2 unshared pages returned; 2 shared pages still held.
+    assert pool.free_pages() == 6
+    # New allocations never hand out the held pages.
+    sid2 = pool.seq_create()
+    pool.seq_extend(sid2, 24)          # 6 pages = everything free
+    assert set(pool.seq_pages(sid2)).isdisjoint(shared)
+    pool.pages_release(shared)
+    assert pool.free_pages() == 0
+    pool.pages_release(shared)
+    assert pool.free_pages() == 2
+    with pytest.raises(ValueError):
+        pool.pages_release(shared)     # over-release is rejected
+    pool.seq_release(sid2)
+    assert pool.free_pages() == 8
