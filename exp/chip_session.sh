@@ -64,4 +64,9 @@ step bench_fused_128k 2400 python exp/bench_fused.py 131072 \
 step bench 1800 python bench.py
 step bench_kernels 1800 python scripts/bench_kernels.py
 
+# 8. serving throughput incl. prefix-cache scenario
+step bench_serving 2400 python scripts/bench_serving.py \
+  --preset llama31-8b --layers 4 --max-batch 8 --requests 24 \
+  --prompt-len 2048 --gen-len 64 --shared-prefix 1024
+
 echo "SESSION DONE $(date)" | tee -a "$LOG/session.log"

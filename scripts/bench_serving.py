@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--gen-len", type=int, default=64)
     ap.add_argument("--token-budget", type=int, default=2048)
     ap.add_argument("--max-seq-len", type=int, default=8192)
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="tokens of common prompt prefix across all "
+                         "requests (exercises the prefix cache; also "
+                         "measured with the cache disabled for the "
+                         "speedup ratio)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -53,34 +58,49 @@ def main():
     params = init_params(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
 
+    shared = rng.integers(1, cfg.vocab_size,
+                          size=args.shared_prefix).tolist()
+
     def make_reqs(n, uid0):
+        tail = args.prompt_len - args.shared_prefix
         return [Request(uid=uid0 + i,
-                        prompt=rng.integers(
-                            1, cfg.vocab_size,
-                            size=args.prompt_len).tolist(),
+                        prompt=shared + rng.integers(
+                            1, cfg.vocab_size, size=tail).tolist(),
                         max_new_tokens=args.gen_len)
                 for i in range(n)]
 
-    engine = ContinuousBatchingEngine(cfg, quest, params,
-                                      max_batch=args.max_batch,
-                                      prefill_bucket=args.prompt_len)
-    # Warm-up: compiles prefill + decode shapes.
-    engine.run(make_reqs(args.max_batch, 10000))
+    def run_engine(prefix_entries):
+        engine = ContinuousBatchingEngine(
+            cfg, quest, params, max_batch=args.max_batch,
+            prefill_bucket=min(args.prompt_len, 512),
+            prefix_cache_entries=prefix_entries)
+        # Warm-up: compiles prefill + decode shapes.
+        engine.run(make_reqs(args.max_batch, 10000))
+        reqs = make_reqs(args.requests, 0)
+        t0 = time.perf_counter()
+        outs = engine.run(reqs)
+        dt = time.perf_counter() - t0
+        return dt, outs, engine
 
-    reqs = make_reqs(args.requests, 0)
-    t0 = time.perf_counter()
-    outs = engine.run(reqs)
-    dt = time.perf_counter() - t0
+    dt, outs, engine = run_engine(64)
     total_tokens = sum(len(v) for v in outs.values())
-    print(json.dumps({
+    result = {
         "preset": args.preset, "layers": args.layers,
         "max_batch": args.max_batch, "requests": args.requests,
         "prompt_len": args.prompt_len, "gen_len": args.gen_len,
+        "shared_prefix": args.shared_prefix,
         "wall_s": round(dt, 2),
         "generated_tokens": total_tokens,
         "tokens_per_s": round(total_tokens / dt, 1),
         "requests_per_s": round(args.requests / dt, 2),
-    }))
+        "prefix_hits": engine.prefix_hits,
+        "prefix_hit_tokens": engine.prefix_hit_tokens,
+    }
+    if args.shared_prefix:
+        dt0, _, _ = run_engine(0)
+        result["wall_s_no_prefix_cache"] = round(dt0, 2)
+        result["prefix_cache_speedup"] = round(dt0 / dt, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
