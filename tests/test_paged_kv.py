@@ -177,3 +177,40 @@ def test_fp8_kv_cache_roundtrip_and_attention():
     want_s = sparse_decode_attention_reference(q, kf, vf, idx, nv, seq, sm)
     np.testing.assert_allclose(np.asarray(sparse), np.asarray(want_s),
                                rtol=3e-3, atol=3e-3)
+
+
+def test_recompute_meta_rows_matches_append_metadata():
+    """Prefix caching derives borrowed pages' metadata from the shared
+    KV data (kv/paged_kv.py:recompute_meta_rows); for full pages it
+    must reproduce the append-time metadata exactly."""
+    import jax
+
+    from quest_tpu.kv.paged_kv import append_prefill_at, recompute_meta_rows
+
+    rng = np.random.default_rng(4)
+    page, H, D, B = 8, 2, 32, 2
+    quest = QuestConfig(page_size=page, max_seq_len=page * 64,
+                        kv_dtype=jnp.float32, block_pages=4)
+    model = ModelConfig(num_kv_heads=H, num_heads=H, head_dim=D)
+    cache = init_cache(model, quest, batch_size=B, num_layers=2)
+    T = 80                               # 10 full pages
+    k = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    for l in range(2):
+        cache = append_prefill_at(cache, l, k, v,
+                                  new_lens=jnp.asarray([T, T], jnp.int32))
+
+    want_max = np.asarray(cache.k_max)
+    want_min = np.asarray(cache.k_min)
+    # Scrub slot 1's metadata, then recompute its first 8 full pages
+    # (2 blocks of 4) from the pool through the block table.
+    cache2 = cache
+    import dataclasses as dc
+    cache2 = dc.replace(cache2,
+                        k_max=cache2.k_max.at[:, 1].set(0.0),
+                        k_min=cache2.k_min.at[:, 1].set(0.0))
+    cache2 = recompute_meta_rows(cache2, jnp.int32(1), n_pages=8)
+    np.testing.assert_array_equal(np.asarray(cache2.k_max)[:, 1, :, :8],
+                                  want_max[:, 1, :, :8])
+    np.testing.assert_array_equal(np.asarray(cache2.k_min)[:, 1, :, :8],
+                                  want_min[:, 1, :, :8])
