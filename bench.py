@@ -110,10 +110,14 @@ def main():
                                 layer.k_min))
 
         # Unfused exact pipeline (estimate + select_pages + sparse
-        # decode as separate calls) — the round-1 configuration.
-        t_unfused = bench_op(make_sparse_step("exact"), q, iters=iters,
-                             reps=reps, env=(layer.kv_pages, layer.k_max,
-                                             layer.k_min))
+        # decode as separate calls). "exact_fast" is verified-exact:
+        # approx_max_k + an exactness certificate with a lax.cond
+        # fallback to the full sort — same selected set as lax.top_k
+        # (ops/topk.py), ~2x faster selection.
+        t_unfused = bench_op(make_sparse_step("exact_fast"), q,
+                             iters=iters, reps=reps,
+                             env=(layer.kv_pages, layer.k_max,
+                                  layer.k_min))
         t_sparse = min(t_fused, t_unfused)
         log(f"fused {t_fused*1e6:.1f} us vs unfused {t_unfused*1e6:.1f}"
             f" us at {CTX}")

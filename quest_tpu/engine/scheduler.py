@@ -186,6 +186,7 @@ class ContinuousBatchingEngine:
         from collections import OrderedDict
         self._prefix: List[OrderedDict] = [OrderedDict()
                                            for _ in range(dp)]
+        self._chains: Dict[int, List[bytes]] = {}
         self.prefix_hits = 0            # introspection for tests
         self.prefix_hit_tokens = 0
 
@@ -216,16 +217,28 @@ class ContinuousBatchingEngine:
         return bool(self.queue) or self.num_active > 0
 
     # ------------------------------------------------------------------
-    def _prefix_chain(self, prompt: List[int]) -> List[int]:
+    def _prefix_chain(self, req: Request) -> List[bytes]:
         """Chain hashes of the prompt's full blocks, capped so at least
         one prompt token is always freshly prefilled (the slot needs
-        real last-token logits)."""
+        real last-token logits). blake2b content hashing — Python's
+        hash() over int tuples is trivially collidable, and a collision
+        would silently alias another request's KV into the borrower.
+        Cached per request uid (a queued head is re-examined every
+        tick)."""
+        cached = self._chains.get(req.uid)
+        if cached is not None:
+            return cached
+        import hashlib
+        prompt = req.prompt
         m = (len(prompt) - 1) // self.block_tokens
-        keys, h = [], 0
+        keys, h = [], b""
         for i in range(m):
-            h = hash((h, tuple(prompt[i * self.block_tokens:
-                                      (i + 1) * self.block_tokens])))
+            chunk = np.asarray(prompt[i * self.block_tokens:
+                                      (i + 1) * self.block_tokens],
+                               np.int64).tobytes()
+            h = hashlib.blake2b(h + chunk, digest_size=16).digest()
             keys.append(h)
+        self._chains[req.uid] = keys
         return keys
 
     def _prefix_lookup(self, g: int, keys: List[int]):
@@ -249,19 +262,36 @@ class ContinuousBatchingEngine:
         free = [b for b, s in enumerate(self.slots) if s is None]
         while free and self.queue:
             req = self.queue[0]
-            keys = self._prefix_chain(req.prompt) if self._prefix_cap \
-                else []
-            # First free slot whose dp group's allocator has room for
-            # the UNSHARED remainder (FIFO over requests: the head
-            # blocks later ones — no starvation).
-            pick = hit = None
-            for i, b in enumerate(free):
-                g = self._group(b)
-                n_sh, blocks = self._prefix_lookup(g, keys)
-                if (self.pools[g].free_pages()
-                        >= self._blocks_needed(req) - n_sh):
-                    pick, hit = i, (n_sh, blocks)
+            keys = self._prefix_chain(req) if self._prefix_cap else []
+
+            def find_slot():
+                # First free slot whose dp group's allocator has room
+                # for the UNSHARED remainder (FIFO over requests: the
+                # head blocks later ones — no starvation).
+                for i, b in enumerate(free):
+                    g = self._group(b)
+                    n_sh, blocks = self._prefix_lookup(g, keys)
+                    if (self.pools[g].free_pages()
+                            >= self._blocks_needed(req) - n_sh):
+                        return i, (n_sh, blocks)
+                return None, None
+
+            pick, hit = find_slot()
+            # Allocation pressure: registry holds must never starve
+            # admission (submit() guaranteed raw schedulability), so
+            # evict LRU prefix entries until the head fits or the
+            # registries are empty.
+            while pick is None:
+                evicted = False
+                for b in free:
+                    reg = self._prefix[self._group(b)]
+                    if reg:
+                        _, old = reg.popitem(last=False)
+                        self.pools[self._group(b)].pages_release(old)
+                        evicted = True
+                if not evicted:
                     break
+                pick, hit = find_slot()
             if pick is None:
                 break
             self.queue.popleft()
@@ -295,10 +325,20 @@ class ContinuousBatchingEngine:
                 seq_lens=self.cache.seq_lens.at[b].set(sh_tokens))
             if n_sh:
                 # Borrowed pages need this slot's min/max metadata —
-                # derive it on device from the shared KV data.
+                # derive it on device from the shared KV data. n_pages
+                # is a STATIC jit arg: bucket to the next power of two
+                # so admissions compile O(log max_pages) programs, not
+                # one per prefix length (rows past the real prefix are
+                # overwritten by this slot's own appends, and selection
+                # masks pages >= num_pages meanwhile).
                 from quest_tpu.kv.paged_kv import recompute_meta_rows
+                n = n_sh * self._bpp
+                bucket = 1
+                while bucket < n:
+                    bucket *= 2
+                bucket = min(bucket, self.quest.max_pages)
                 self.cache = recompute_meta_rows(
-                    self.cache, jnp.int32(b), n_pages=n_sh * self._bpp)
+                    self.cache, jnp.int32(b), n_pages=bucket)
 
     def _publish_prefix(self, b: int, s: _Slot) -> None:
         """Register the completed prompt's full blocks for reuse. Each
@@ -307,7 +347,7 @@ class ContinuousBatchingEngine:
             return
         g = self._group(b)
         reg = self._prefix[g]
-        keys = self._prefix_chain(s.req.prompt)
+        keys = self._prefix_chain(s.req)
         if not keys:
             return
         own = self.pools[g].seq_pages(s.sid)
@@ -460,6 +500,7 @@ class ContinuousBatchingEngine:
             if slot.shared_blocks:
                 pool.pages_release(slot.shared_blocks)
             pool.seq_release(slot.sid)
+            self._chains.pop(req.uid, None)
             self._hlens[b] = 0
             self.cache = dataclasses.replace(
                 self.cache,

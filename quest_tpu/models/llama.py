@@ -133,9 +133,16 @@ class QuestModel:
         cfg, quest = self.cfg, self.quest
         sm = 1.0 / math.sqrt(cfg.head_dim)
 
+        # Fused path gates: per-KV-head selection; pool large enough to
+        # stream in >= 2 lane-multiple blocks; budget small enough that
+        # the whole-selection gather ring fits VMEM (ring = 2 slots x
+        # page_budget pages x 8 KB; 256 pages = 4 MB). Everything else
+        # falls back to the 3-call pipeline, which has no such limits.
         if (use_sparse and quest.fused_decode
                 and quest.selection == "per_kv_head"
-                and cache.k_max.shape[3] >= 128):
+                and cache.k_max.shape[3] >= 128
+                and cache.k_max.shape[3] % 64 == 0
+                and quest.page_budget <= 256):
             with jax.named_scope("quest_fused_decode"):
                 return fused_sparse_decode(
                     q, cache.kv_pages, cache.k_max, cache.k_min,

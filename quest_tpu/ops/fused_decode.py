@@ -292,8 +292,11 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, SG, agg,
         qc = qc_ref[0, 0]                          # [2Gp, D] of head dh
         q = (qc[:Gp] + qc[Gp:])                    # relu(q)+min(q,0) = q
         kv = gbuf[gs]                              # [K, 2, page, D]
-        k = kv[:, 0].reshape(K * page, D)
-        v = kv[:, 1].reshape(K * page, D)
+        # Upcast sub-bf16 KV (fp8 serving config) to the query dtype so
+        # the MXU sees a uniform operand pair (mixed bf16 x f8 matmuls
+        # are not a lowering we rely on; cf. sparse_decode's q cast).
+        k = kv[:, 0].reshape(K * page, D).astype(q.dtype)
+        v = kv[:, 1].reshape(K * page, D).astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
@@ -362,10 +365,14 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
     K = budget_pages
     Kp = round_up(K, 128)
     # The decode of head h lags one head and lands at block nbm-2 of
-    # head h+1, so every head needs >= 2 metadata blocks.
-    bp = min(block_p, P // 2)
-    assert bp % 64 == 0 and P % bp == 0, (
-        f"pool pages {P} must be a multiple of block_p {bp} (and 64)")
+    # head h+1, so every head needs >= 2 metadata blocks. bp must
+    # divide P and be a lane multiple: pick the largest qualifying
+    # divisor (pools are 64-page multiples, config.py:max_pages, so
+    # e.g. P=2112 -> bp=64, not an assert).
+    cap = min(block_p, P // 2)
+    bp = max((d for d in range(64, cap + 1, 64) if P % d == 0),
+             default=0)
+    assert bp, f"pool pages {P} must be a multiple of 64 (and >= 128)"
     nbm = P // bp
     SG = select_group
     assert Hkv % SG == 0, (Hkv, SG)   # groups never straddle batch rows

@@ -74,8 +74,12 @@ def main():
             cfg, quest, params, max_batch=args.max_batch,
             prefill_bucket=min(args.prompt_len, 512),
             prefix_cache_entries=prefix_entries)
-        # Warm-up: compiles prefill + decode shapes.
+        # Warm-up: compiles prefill + decode shapes (and, in the
+        # shared-prefix scenario, publishes the prefix — the timed run
+        # measures the warm-cache steady state). Hit counters are
+        # reset so the report covers the timed run only.
         engine.run(make_reqs(args.max_batch, 10000))
+        engine.prefix_hits = engine.prefix_hit_tokens = 0
         reqs = make_reqs(args.requests, 0)
         t0 = time.perf_counter()
         outs = engine.run(reqs)

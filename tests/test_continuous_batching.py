@@ -328,3 +328,25 @@ def test_prefix_cache_concurrent_mixed_batch(setup):
     assert outs[1] == _single_reference(cfg, quest, params,
                                         prefix + [11, 12], 5)
     assert outs[2] == _single_reference(cfg, quest, params, fresh, 5)
+
+
+def test_prefix_registry_never_starves_admission(setup):
+    """Registry holds are evicted under allocation pressure: a stream
+    of distinct max-size prompts must keep completing (liveness — a
+    pinned registry once dead-locked run() here)."""
+    cfg, _, params = setup
+    quest = _prefix_quest()
+    eng = ContinuousBatchingEngine(cfg, quest, params, max_batch=2,
+                                   prefill_bucket=16,
+                                   prefix_cache_entries=64,
+                                   total_pages=16)   # 4 usable blocks
+    rng = np.random.default_rng(41)
+    # Each request needs 3 of the 4 blocks and publishes 2 registry
+    # holds; distinct prompts pile holds until eviction must kick in.
+    reqs = [Request(uid=i,
+                    prompt=rng.integers(1, 256, size=80).tolist(),
+                    max_new_tokens=4)
+            for i in range(6)]
+    outs = eng.run(reqs)
+    assert set(outs) == set(range(6))
+    assert all(len(v) == 4 for v in outs.values())

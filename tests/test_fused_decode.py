@@ -241,3 +241,21 @@ def test_select_group_batched_matches_sg1(sg):
                               sm_scale=sm, budget_pages=K,
                               select_group=sg)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
+def test_fused_pool_not_multiple_of_block_p():
+    """P = 192 (a 64-multiple that 128 does not divide — the flagship
+    32K engine pool is 2112) must pick bp=64, not assert."""
+    rng = np.random.default_rng(17)
+    B, Hkv, G, P, page, D, K = 1, 2, 1, 192, 16, 128, 16
+    q, kv_pages, k_max, k_min = _mk(rng, B, Hkv, G, P, page, D,
+                                    jnp.float32)
+    seq = jnp.asarray([2500], jnp.int32)
+    sm = 1.0 / np.sqrt(D)
+    got = fused_sparse_decode(q, kv_pages, k_max, k_min, seq,
+                              sm_scale=sm, budget_pages=K)
+    scores = page_scores(q, k_max, k_min, group_agg="sum")
+    idx, nv = select_pages(scores, seq, page, K, method="exact")
+    want = sparse_decode_attention(q, kv_pages, idx, nv, seq, sm_scale=sm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
