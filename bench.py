@@ -105,9 +105,16 @@ def main():
             return fb(q, fused_sparse_decode(q, kv_pages, kmax, kmin,
                                              seq, sm_scale=sm,
                                              budget_pages=S))
-        t_fused = bench_op(fused_step, q, iters=iters, reps=reps,
-                           env=(layer.kv_pages, layer.k_max,
-                                layer.k_min))
+        # The unattended driver run must survive a megakernel compile
+        # failure on an unseen Mosaic version — fall back to the
+        # unfused pipeline's number rather than record nothing.
+        try:
+            t_fused = bench_op(fused_step, q, iters=iters, reps=reps,
+                               env=(layer.kv_pages, layer.k_max,
+                                    layer.k_min))
+        except Exception as e:  # noqa: BLE001
+            log(f"fused megakernel failed ({type(e).__name__}): {e}")
+            t_fused = float("inf")
 
         # Unfused exact pipeline (estimate + select_pages + sparse
         # decode as separate calls). "exact_fast" is verified-exact:
@@ -135,8 +142,12 @@ def main():
             t_fast_unfused = bench_op(
                 make_sparse_step("approx"), q, iters=iters, reps=reps,
                 env=envf8)
-            t_fast_fused = bench_op(fused_step, q, iters=iters,
-                                    reps=reps, env=envf8)
+            try:
+                t_fast_fused = bench_op(fused_step, q, iters=iters,
+                                        reps=reps, env=envf8)
+            except Exception as e:  # noqa: BLE001
+                log(f"fused fp8 failed ({type(e).__name__}): {e}")
+                t_fast_fused = float("inf")
             log(f"serving: fused+fp8 {t_fast_fused*1e6:.1f} us vs "
                 f"approx+fp8 {t_fast_unfused*1e6:.1f} us at {CTX}")
             t_sparse_fast = min(t_fast_unfused, t_fast_fused)
