@@ -259,3 +259,42 @@ def test_fused_pool_not_multiple_of_block_p():
     want = sparse_decode_attention(q, kv_pages, idx, nv, seq, sm_scale=sm)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_exact_topk_boundary_ties_match_lax_topk():
+    """Exact f32 score ties across the K boundary resolve to the same
+    SET as lax.top_k (lowest page id wins among equal scores), incl.
+    single-page rows and all-equal scores."""
+    import jax
+
+    page = 16
+    cases = []
+    # All-equal scores: ties everywhere.
+    cases.append((np.full(256, 1.5, np.float32), 40, 256 * page))
+    # Dense tie band straddling the boundary.
+    s = np.zeros(256, np.float32)
+    s[:10] = 7.0
+    s[10:200] = 3.25          # 190-way tie, K cuts through it
+    cases.append((s, 64, 256 * page))
+    # Negative ties + zeros.
+    s = np.concatenate([np.full(128, -2.5, np.float32),
+                        np.zeros(128, np.float32)])
+    cases.append((s, 130, 256 * page - 3))
+    # Single-page row.
+    cases.append((np.linspace(0, 1, 128).astype(np.float32), 8, 5))
+
+    for s, K, seq in cases:
+        P = len(s)
+        num_pages = (seq + page - 1) // page
+        sel, slot, nv = _exact_topk_select(
+            jnp.asarray(s.reshape(1, P // 128, 128)),
+            jnp.int32(num_pages), jnp.int32(num_pages - 1), K)
+        Kp = ((K + 127) // 128) * 128
+        ids = np.asarray(_compact_ids(sel[0], slot[0], Kp))[0]
+        got = sorted(ids[:int(nv)].astype(np.int64).tolist())
+        idx, nv2 = select_pages(jnp.asarray(s)[None, None],
+                                jnp.asarray([seq], jnp.int32), page, K,
+                                method="exact")
+        want = sorted(np.asarray(idx)[0, 0, :int(nv2[0])].tolist())
+        assert int(nv) == int(nv2[0]), (K, seq)
+        assert got == want, (K, seq, got[:8], want[:8])
