@@ -127,11 +127,28 @@ def _exact_topk_select(s, num_pages, last_page, K):
 
 def _page_order_cumsum(x):
     """Inclusive cumsum of [SG, rows, lanes] i32 in row-major (page)
-    order, independently per leading index."""
-    cs = jnp.cumsum(x, axis=2)
-    row_tot = cs[:, :, -1:]
-    off = jnp.cumsum(row_tot, axis=1) - row_tot
-    return cs + off
+    order, independently per leading index.
+
+    Mosaic has no `cumsum` lowering (TC kernels), so both scans are
+    expressed as triangular-matrix matmuls on the MXU: along lanes
+    with an inclusive lower-triangular [lanes, lanes], then a strict
+    lower-triangular [rows, rows] to carry row totals forward. Counts
+    are <= P (< 2^24), exact in f32."""
+    SG, rows, lanes = x.shape
+    xf = x.astype(jnp.float32)
+    li = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
+    tri_inc = (li <= lj).astype(jnp.float32)
+    cs = jax.lax.dot_general(xf, tri_inc, (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    row_tot = cs[:, :, lanes - 1]                    # [SG, rows]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    tri_strict = (ri < rj).astype(jnp.float32)
+    off = jax.lax.dot_general(row_tot, tri_strict,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return (cs + off[:, :, None]).astype(jnp.int32)
 
 
 def _compact_ids(sel, slot, Kp, chunk_rows: int = 16):

@@ -118,10 +118,12 @@ def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
                       keepdims=True)                     # [B, H, 1]
         n_ge = jnp.sum((s >= thr).astype(jnp.int32), axis=-1)  # [B, H]
         certified = jnp.all(n_ge == nv[:, None])
+        # (tuple(...): lax.top_k returns a list on jax 0.9, and cond
+        # requires identical branch pytree STRUCTURE incl. Python type.)
         _, indices = jax.lax.cond(
             certified,
             lambda x: (av, ai),
-            lambda x: jax.lax.top_k(x, budget_pages),
+            lambda x: tuple(jax.lax.top_k(x, budget_pages)),
             s)
     elif method == "approx":
         # Static pool size is necessary but not sufficient: soundness
@@ -133,9 +135,9 @@ def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
         all_rows_long = jnp.all(num_pages >= 4 * budget_pages)
         _, indices = jax.lax.cond(
             all_rows_long,
-            lambda x: jax.lax.approx_max_k(x, budget_pages,
-                                           recall_target=0.95),
-            lambda x: jax.lax.top_k(x, budget_pages),
+            lambda x: tuple(jax.lax.approx_max_k(x, budget_pages,
+                                                 recall_target=0.95)),
+            lambda x: tuple(jax.lax.top_k(x, budget_pages)),
             s)
     else:
         _, indices = jax.lax.top_k(s, budget_pages)
