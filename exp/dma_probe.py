@@ -12,6 +12,9 @@ to distinct DMA queues/engines.
 
 Prints: `MODE chunk nslot us GB/s`.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import functools
 

@@ -22,6 +22,9 @@ pages' tokens (page 16). Methods: perq (reference), agg_max, agg_sum.
 
 Usage: python exp/gqa_selection.py [--seeds 8] [--ctx 8192]
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 from __future__ import annotations
 
 import argparse

@@ -3,6 +3,9 @@
 Usage: python exp/stage_probe.py [CTX] [stages...]
 stages subset of: fill dense unfused fused  (default: all)
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -4,6 +4,9 @@ Usage: python exp/sweep_gather.py PPB NSLOT [CTX BUDGET]
 Prints one line: `ppb nslot us GB/s` on stdout.
 Run one config per process under `timeout` (kernel hangs poison the chip).
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 
 import numpy as np

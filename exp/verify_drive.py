@@ -4,6 +4,9 @@ Covers the round-2 changes: per_q_head selection mode, approx-topk
 runtime cond guard (mixed long/short batch), fp8-metadata query dtype,
 group_agg=sum default. Run under timeout on the real chip.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 
 import numpy as np

@@ -21,32 +21,39 @@ grid step (one metadata block):
      [bp, D] slices of k_max/k_min — large, descriptor-cheap);
   2. wait the current metadata block, compute its score slice with two
      MXU matmuls (the relu/min sign-split of ops/estimate.py), write
-     one [1, 128] row of the head's score matrix;
-  3. on a head's LAST block: run the in-kernel EXACT top-K (below),
-     compact the selected page ids in ascending-page order, and issue
-     the whole-selection gather (one 8 KB descriptor per page — the
-     layout keeps each page's K and V adjacent, see sparse_decode.py);
-  4. one head later (next head's second-to-last block — by which time
-     the 1 MB gather has long landed): masked single-block flash
-     decode of the gathered pages, write the head's output rows.
+     one [1, bp] row of the head's score matrix;
+  3. on a GROUP's last block (``select_group`` heads select together):
+     run the in-kernel EXACT top-K (below) batched over the group —
+     the radix descent's serial reduction chain is shared, so its
+     latency amortizes SG-fold;
+  4. one head per following step: compact that head's selected page
+     ids in ascending-page order and issue its whole-selection gather
+     (one 8 KB descriptor per page — the layout keeps each page's K
+     and V adjacent, see sparse_decode.py); spreading issue over steps
+     keeps per-step serial work and unrolled code size constant in SG;
+  5. SG heads later (by which time the 1 MB gather has long landed):
+     masked single-block flash decode of the gathered pages, write the
+     head's output rows.
 
 In-kernel exact top-K (replaces lax.top_k / approx_max_k, which do not
-exist inside Pallas):
-  * scores live as [16, 128] f32, page id = row*128 + col;
+exist inside Pallas) — see _exact_topk_select:
+  * scores live as [SG*nbm, bp] f32 row bands, page id = band-local
+    row * bp + lane; ALL values rank-2 (three distinct rank-3 Mosaic
+    failures on real hardware are documented in its docstring);
   * keys are order-preserving int32 images of the f32 scores
     (``b < 0 ? b ^ 0x7fffffff : b`` — IEEE754 totally ordered, so the
     radix descent compares integers only);
   * a 32-pass 1-bit radix descent finds the exact K-th-largest key T
-    and the tie count, entirely in vector registers (per-pass state is
-    an active mask + a remaining-rank scalar; no SMEM round trips);
+    and the tie count per head, entirely in vector registers; per-head
+    state is band-uniform [SG*nbm, 1] columns, and band counts are two
+    tiny MXU matmuls against 0/1 segment matrices;
   * selected = (key > T) | (key == T and tie-rank < remaining), with
     tie-rank in ascending page order — the same set (and tie policy)
     as ``lax.top_k``; the last page carries +inf and is always in;
-  * compaction: global slot = exclusive cumsum of the selected mask in
-    page order (ascending-page output, like select_pages'
-    sort_by_page), materialized through 16 tiny [128, K] one-hot
-    matmuls fed by one [16,128]→[128,16] transpose — no scatter, no
-    cross-lane relayout of the score matrix.
+  * compaction (per head, _compact_ids): slot = exclusive cumsum of
+    the selected mask in page order (ascending-page output, like
+    select_pages' sort_by_page), materialized via one-hot compares —
+    no scatter, no cross-lane relayout of the score matrix.
 
 Exactness caveat (documented, not observable with real scores): keys
 order -0.0 below +0.0, so a top-K boundary tie between -0.0 and +0.0
@@ -63,6 +70,7 @@ tests/test_fused_decode.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -73,82 +81,127 @@ from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 _SIGN_FIX = 0x7FFFFFFF  # see key mapping above
 
+# Timing-only ablations for on-chip cost attribution
+# (exp/bench_fused.py): comma-set of {"noselect", "nocompact"}.
+# Outputs are WRONG under ablation — never set outside experiments.
+_ABLATE = frozenset(
+    x for x in os.environ.get("QF_ABLATE", "").split(",") if x)
 
-def _exact_topk_select(s, num_pages, last_page, K):
-    """Exact top-K selection on an [SG, P_rows, 128] batch of score
-    matrices (SG heads selected together — the radix descent's serial
-    reduction chain is shared, so its latency amortizes SG-fold).
 
-    Returns (sel, slot, num_valid): sel marks the selected pages, slot
-    is each selected page's output position in ascending-page order
-    (per head), num_valid = min(K, num_pages). All vector ops.
+def _exact_topk_select(s2, SG, num_pages, last_page, K):
+    """Exact top-K selection, SG heads batched, ALL values rank-2.
+
+    ``s2``: [SG*nbm, bp] f32 — head g's score matrix occupies the
+    row band [g*nbm, (g+1)*nbm); page id within a band = band-local
+    row * bp + lane.
+
+    Rank-2-only by necessity, not style: this Mosaic version has THREE
+    hardware-triggered failures on rank-3 values with leading dim > 1
+    (stored i1 masks: "Unsupported target bitwidth for truncation";
+    multi-axis reduces: layout.h SIGABRT, exp/select_compile2.py; and
+    an execution-time wedge at SG>=4 that interpret mode cannot see).
+    Per-head scalar state lives as band-uniform [SG*nbm, 1] columns;
+    band (segment) reductions are two tiny MXU matmuls against 0/1
+    segment matrices — lane-axis reduces (the one known-good reduce
+    form) plus matmuls only.
+
+    Returns (sel, slot, num_valid): sel marks selected pages (i32
+    0/1), slot is each selected page's output position in
+    ascending-page order (per head), num_valid = min(K, num_pages).
+    The 32-pass 1-bit radix descent finds the exact K-th largest
+    order-preserving int32 key image; boundary ties resolve to the
+    lowest page ids — the same tie policy as lax.top_k.
     """
-    SG, rows, lanes = s.shape
-    pid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) * lanes
-           + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2))
-    s = jnp.where(pid < num_pages, s, -jnp.inf)
-    s = jnp.where(pid == last_page, jnp.inf, s)
+    SGN, bp = s2.shape
+    nbm = SGN // SG
+    row = jax.lax.broadcasted_iota(jnp.int32, (SGN, bp), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SGN, bp), 1)
+    pid = (row % nbm) * bp + lane
+    s2 = jnp.where(pid < num_pages, s2, -jnp.inf)
+    s2 = jnp.where(pid == last_page, jnp.inf, s2)
 
-    b = jax.lax.bitcast_convert_type(s, jnp.int32)
+    b = jax.lax.bitcast_convert_type(s2, jnp.int32)
     key = jnp.where(b < 0, b ^ jnp.int32(_SIGN_FIX), b)
 
     num_valid = jnp.minimum(jnp.int32(K), num_pages)
 
-    # 32-pass 1-bit radix descent for the exact K-th largest key,
-    # batched over the SG heads ([SG,1,1] per-head state).
-    active = jnp.ones(s.shape, jnp.bool_)
-    k_rem = jnp.full((SG, 1, 1), num_valid, jnp.int32)
+    # Segment matrices: band sums as matmuls. seg[g, r] selects band
+    # g's rows; segT broadcasts a [SG, 1] band value back to its rows.
+    gi = jax.lax.broadcasted_iota(jnp.int32, (SG, SGN), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (SG, SGN), 1)
+    seg = jnp.where(rj // nbm == gi, 1.0, 0.0)            # [SG, SGN]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (SGN, SG), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (SGN, SG), 1)
+    segT = jnp.where(ri // nbm == gj, 1.0, 0.0)           # [SGN, SG]
+
+    def band_sum_rows(x_i32):
+        """[SGN, bp] i32 -> [SGN, 1] i32: per-band total, band-uniform
+        (counts <= 2^24, exact in f32)."""
+        rc = jnp.sum(x_i32.astype(jnp.float32), axis=1, keepdims=True)
+        cb = jax.lax.dot_general(seg, rc, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        cr = jax.lax.dot_general(segT, cb, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return cr.astype(jnp.int32)
+
+    one = jnp.int32(1)
+    active = jnp.ones((SGN, bp), jnp.int32)
+    k_rem = jnp.full((SGN, 1), num_valid, jnp.int32)      # band-uniform
     for sh in range(31, -1, -1):
-        bit = (jax.lax.shift_right_logical(key, jnp.int32(sh))
-               & jnp.int32(1)) == 1
+        bit = (jax.lax.shift_right_logical(key, jnp.int32(sh)) & one)
         # Signed keys: bit 31 SET means negative (smaller); within a
         # sign, two's complement orders like unsigned. So the "upper
         # half" at the sign bit is bit==0, everywhere else bit==1.
-        bit_hi = jnp.logical_not(bit) if sh == 31 else bit
-        hi = jnp.logical_and(active, bit_hi)
-        c = jnp.sum(hi.astype(jnp.int32), axis=(1, 2), keepdims=True)
+        bit_hi = (one - bit) if sh == 31 else bit
+        hi = active * bit_hi
+        c = band_sum_rows(hi)
         go_hi = c >= k_rem
-        active = jnp.where(go_hi, hi,
-                           jnp.logical_and(active,
-                                           jnp.logical_not(bit_hi)))
+        active = jnp.where(go_hi, hi, active * (one - bit_hi))
         k_rem = jnp.where(go_hi, k_rem, k_rem - c)
 
-    # active == {key == T} per head; include the k_rem lowest-page-id
-    # ties — the same tie policy as lax.top_k (earlier index wins).
-    thr = jnp.max(jnp.where(active, key, jnp.int32(-2147483648)),
-                  axis=(1, 2), keepdims=True)
-    gt = key > thr
-    tie_rank = _page_order_cumsum(active.astype(jnp.int32)) - active
-    sel = jnp.logical_or(gt, jnp.logical_and(active, tie_rank < k_rem))
+    # active == {key == T} per band; include the k_rem lowest-page-id
+    # ties. Band max of the surviving keys via a static per-band loop
+    # (SG <= 8 scalar extracts; no cross-row vector max needed).
+    m_rows = jnp.max(jnp.where(active > 0, key, jnp.int32(-2147483648)),
+                     axis=1, keepdims=True)               # [SGN, 1]
+    thr = jnp.zeros((SGN, 1), jnp.int32)
+    for g in range(SG):
+        tg = jnp.max(m_rows[g * nbm:(g + 1) * nbm])       # scalar
+        thr = jnp.where(row[:, :1] // nbm == g, tg, thr)
+    gt = jnp.where(key > thr, one, jnp.int32(0))
+    tie_rank = _band_cumsum(active, nbm) - active
+    tie_in = jnp.where(tie_rank < k_rem, active, jnp.int32(0))
+    sel = jnp.maximum(gt, tie_in)
 
-    slot = _page_order_cumsum(sel.astype(jnp.int32)) - sel
+    slot = _band_cumsum(sel, nbm) - sel
     return sel, slot, num_valid
 
 
-def _page_order_cumsum(x):
-    """Inclusive cumsum of [SG, rows, lanes] i32 in row-major (page)
-    order, independently per leading index.
+def _band_cumsum(x, nbm):
+    """Inclusive cumsum of [SG*nbm, lanes] i32 in row-major (page)
+    order, independently per nbm-row band. Rank-2 only (see
+    _exact_topk_select).
 
     Mosaic has no `cumsum` lowering (TC kernels), so both scans are
     expressed as triangular-matrix matmuls on the MXU: along lanes
     with an inclusive lower-triangular [lanes, lanes], then a strict
-    lower-triangular [rows, rows] to carry row totals forward. Counts
-    are <= P (< 2^24), exact in f32."""
-    SG, rows, lanes = x.shape
+    lower-triangular WITHIN-BAND [rows, rows] to carry row totals
+    forward. Counts are <= P (< 2^24), exact in f32."""
+    rows, lanes = x.shape
     xf = x.astype(jnp.float32)
     li = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
-    tri_inc = (li <= lj).astype(jnp.float32)
-    cs = jax.lax.dot_general(xf, tri_inc, (((2,), (0,)), ((), ())),
+    tri_inc = jnp.where(li <= lj, 1.0, 0.0)
+    cs = jax.lax.dot_general(xf, tri_inc, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    row_tot = cs[:, :, lanes - 1]                    # [SG, rows]
+    row_tot = cs[:, lanes - 1:lanes]                 # [rows, 1]
     ri = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
     rj = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-    tri_strict = (ri < rj).astype(jnp.float32)
-    off = jax.lax.dot_general(row_tot, tri_strict,
-                              (((1,), (0,)), ((), ())),
+    tri_band = jnp.where(
+        jnp.logical_and(ri // nbm == rj // nbm, rj < ri), 1.0, 0.0)
+    off = jax.lax.dot_general(tri_band, row_tot, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    return (cs + off[:, :, None]).astype(jnp.int32)
+    return (cs + off).astype(jnp.int32)
 
 
 def _compact_ids(sel, slot, Kp, chunk_rows: int = 16):
@@ -165,9 +218,9 @@ def _compact_ids(sel, slot, Kp, chunk_rows: int = 16):
     acc = jnp.zeros((1, Kp), jnp.float32)
     for r0 in range(0, rows, chunk_rows):
         cr = min(chunk_rows, rows - r0)
-        sl = jnp.where(sel[r0:r0 + cr], slot[r0:r0 + cr],
+        sl = jnp.where(sel[r0:r0 + cr] > 0, slot[r0:r0 + cr],
                        -1)[:, :, None]               # [cr, lanes, 1]
-        oh = (sl == k_iota).astype(jnp.float32)      # [cr, lanes, Kp]
+        oh = jnp.where(sl == k_iota, 1.0, 0.0)       # [cr, lanes, Kp]
         pid = (jax.lax.broadcasted_iota(jnp.int32, (cr, lanes), 0)
                * lanes + r0 * lanes
                + jax.lax.broadcasted_iota(jnp.int32, (cr, lanes), 1))
@@ -180,7 +233,7 @@ def _compact_ids(sel, slot, Kp, chunk_rows: int = 16):
 def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, SG, agg,
             sm_scale, layer, bp2, meta_ref, tab_ref, qc_ref, kmax_hbm,
             kmin_hbm, kv_hbm, o_ref, mbuf, msem, gbuf, gsem, scores_scr,
-            idx_scr, ls_scr):
+            sel_scr, slot_scr, idx_scr, ls_scr):
     gpps = K // gsm               # gather pages per semaphore stripe
     t = pl.program_id(0)
     T = pl.num_programs(0)
@@ -245,48 +298,96 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, SG, agg,
         else:
             srow = jnp.sum(jnp.where(row < G, sblk, 0.0), axis=0,
                            keepdims=True)
-        scores_scr[pl.ds(fh % SG, 1), pl.ds(mj, 1), :] = (
-            srow.reshape(1, 1, -1))
+        # scores_scr is 2-D [SG*nbm, bp]: rank-3 VMEM refs with leading
+        # dim > 1 trip a Mosaic layout bug (layout.h Check failed:
+        # arr.size() >= layout_rank) when their loads feed reductions;
+        # the same ops on a value RESHAPED from a 2-D load are fine.
+        scores_scr[pl.ds((fh % SG) * nbm + mj, 1), :] = srow
 
-    # --- group complete: exact top-K select + issue gathers ----------
-    # SG heads select together (batched radix); SG | Hkv so a group
-    # never straddles batch rows (one num_pages per group).
+    # --- group complete: batched exact top-K select ------------------
+    # SG heads select together (batched radix — the 32-pass descent's
+    # serial reduction chain is shared, so its latency amortizes
+    # SG-fold); SG | Hkv so a group never straddles batch rows (one
+    # num_pages per group). Only the radix runs here: per-head
+    # compaction + gather issue is SPREAD over the following SG steps
+    # (one head each, below), keeping both the unrolled code size and
+    # the per-step serial work constant in SG.
     @pl.when(jnp.logical_and(
         t < HT * nbm,
         jnp.logical_and(fh % SG == SG - 1, mj == nbm - 1)))
     def _():
+        if "noselect" in _ABLATE:
+            return
         bb = fh // Hkv
         num_pages = meta_ref[bb, 0]
         last_page = meta_ref[bb, 1]
-        sel, slot, _ = _exact_topk_select(scores_scr[...], num_pages,
-                                          last_page, K)
+        sel, slot, _ = _exact_topk_select(scores_scr[...], SG,
+                                          num_pages, last_page, K)
         par = (fh // SG) % 2
-        pid = (jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
-               * sel.shape[2]
-               + jax.lax.broadcasted_iota(jnp.int32, sel.shape, 2))
-        is_last = jnp.logical_and(sel, pid == last_page)
-        ls_all = jnp.sum(jnp.where(is_last, slot, 0), axis=(1, 2),
-                         keepdims=True)                  # [SG,1,1]
+        row = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
+        pid = (row % nbm) * bp + lane
+        is_last = jnp.where(pid == last_page, sel, jnp.int32(0))
+        # Last-page slot per band: one nonzero per band, lane-reduced
+        # then band-summed to a scalar at store time (exact in f32).
+        ls_rows = jnp.sum((is_last * slot).astype(jnp.float32), axis=1,
+                          keepdims=True)                 # [SG*nbm, 1]
+        # Per-head stores at nbm8-strided (8-aligned) static offsets:
+        # the per-head read below uses a DYNAMIC row start h2*nbm8,
+        # which Mosaic must prove sublane-aligned (multiple of 8).
+        nbm8 = max(8, nbm)
         for h2 in range(SG):
-            ids = _compact_ids(sel[h2], slot[h2], Kp)
-            idx_scr[pl.ds(par, 1), pl.ds(h2, 1), :] = (
-                ids.astype(jnp.int32).reshape(1, 1, Kp))
-            ls_scr[par, h2] = ls_all[h2, 0, 0]
+            sel_scr[pl.ds(h2 * nbm8, nbm), :] = (
+                sel[h2 * nbm:(h2 + 1) * nbm])
+            slot_scr[pl.ds(h2 * nbm8, nbm), :] = (
+                slot[h2 * nbm:(h2 + 1) * nbm])
+            ls_scr[par, h2] = jnp.sum(
+                ls_rows[h2 * nbm:(h2 + 1) * nbm]).astype(jnp.int32)
 
-        for h2 in range(SG):
-            hh = fh - (SG - 1) + h2
-            kk = hh % Hkv
-            gs = hh % ngs
-            for i in range(K):
-                gpid = idx_scr[par, h2, i]
-                # Logical -> physical page id through the per-slot
-                # block table (identity table in per-layer mode).
-                phys = tab_ref[bb, gpid // bp2] * bp2 + gpid % bp2
-                src = (kv_hbm.at[kk, phys] if shared
-                       else kv_hbm.at[bb, kk, phys])
-                pltpu.make_async_copy(
-                    src, gbuf.at[gs, i],
-                    gsem.at[gs, min(i // gpps, gsm - 1)]).start()
+    # --- one head per step: compact its selection + issue its gathers.
+    # Head hh0 = fh-SG+1 compacts/issues at (fh, nbm-1): its group's
+    # radix ran at step ((hh0//SG+1)*SG-1, nbm-1) <= this step (equal
+    # for the group's first head — same-step, program-ordered), and
+    # group g+1 overwrites sel/slot only at ((g+2)*SG-1, nbm-1), after
+    # the last reader at ((g+2)*SG-2, nbm-1). Its decode waits at
+    # (hh0+SG, nbm-2) — nbm-1 steps of gather landing time, same
+    # pipeline depth as the SG=1 design.
+    hh0 = fh - (SG - 1)
+    @pl.when(jnp.logical_and(
+        jnp.logical_and(hh0 >= 0, hh0 < HT), mj == nbm - 1))
+    def _():
+        bb = hh0 // Hkv
+        kk = hh0 % Hkv
+        gs = hh0 % ngs
+        par = (hh0 // SG) % 2
+        h2 = hh0 % SG
+        if "nocompact" in _ABLATE or "noselect" in _ABLATE:
+            ids = jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
+            idx_scr[pl.ds(par * SG + h2, 1), :] = ids
+        else:
+            nbm8 = max(8, nbm)
+            sel_h = sel_scr[pl.ds(h2 * nbm8, nbm), :]
+            slot_h = slot_scr[pl.ds(h2 * nbm8, nbm), :]
+            ids = _compact_ids(sel_h, slot_h, Kp)
+            idx_scr[pl.ds(par * SG + h2, 1), :] = ids.astype(jnp.int32)
+        if "nogather" in _ABLATE:
+            return
+        NPp = nbm * bp                       # logical pool pages
+        for i in range(K):
+            # Clamp defensively: an out-of-range page id here would
+            # turn into an out-of-bounds DMA address, which FAULTS the
+            # TPU worker (a ~30-min outage) instead of erroring — junk
+            # slots must stay in-bounds whatever the compaction wrote.
+            gpid = idx_scr[par * SG + h2, i]
+            gpid = jnp.clip(gpid, 0, NPp - 1)
+            # Logical -> physical page id through the per-slot
+            # block table (identity table in per-layer mode).
+            phys = tab_ref[bb, gpid // bp2] * bp2 + gpid % bp2
+            src = (kv_hbm.at[kk, phys] if shared
+                   else kv_hbm.at[bb, kk, phys])
+            pltpu.make_async_copy(
+                src, gbuf.at[gs, i],
+                gsem.at[gs, min(i // gpps, gsm - 1)]).start()
 
     # --- SG heads behind: flash-decode the gathered selection --------
     dh = fh - SG
@@ -295,6 +396,9 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, SG, agg,
         bb = dh // Hkv
         kk = dh % Hkv
         gs = dh % ngs
+        if "nogather" in _ABLATE:
+            o_ref[bb, kk] = jnp.zeros((Gp, D), o_ref.dtype)
+            return
         for s in range(gsm):
             n = K - s * gpps if s == gsm - 1 else gpps
             sl = pl.ds(s * gpps, n)
@@ -441,8 +545,10 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
             pltpu.SemaphoreType.DMA((nms,)),
             pltpu.VMEM((ngs, K, 2, page, D), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((ngs, gsm)),
-            pltpu.VMEM((SG, nbm, bp), jnp.float32),
-            pltpu.VMEM((2, SG, Kp), jnp.int32),
+            pltpu.VMEM((SG * nbm, bp), jnp.float32),
+            pltpu.VMEM((SG * max(8, nbm), bp), jnp.int32),
+            pltpu.VMEM((SG * max(8, nbm), bp), jnp.int32),
+            pltpu.VMEM((2 * SG, Kp), jnp.int32),
             pltpu.SMEM((2, SG), jnp.int32),
         ],
     )

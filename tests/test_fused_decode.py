@@ -42,10 +42,10 @@ def test_exact_topk_select_matches_select_pages():
         num_pages = (seq + page - 1) // page
 
         sel, slot, nv = _exact_topk_select(
-            jnp.asarray(s.reshape(1, P // 128, 128)),
+            jnp.asarray(s.reshape(P // 128, 128)), 1,
             jnp.int32(num_pages), jnp.int32(num_pages - 1), K)
         Kp = ((K + 127) // 128) * 128
-        ids = np.asarray(_compact_ids(sel[0], slot[0],
+        ids = np.asarray(_compact_ids(sel, slot,
                                       Kp)).astype(np.int64)[0]
         got = ids[:int(nv)].tolist()
 
@@ -287,10 +287,10 @@ def test_exact_topk_boundary_ties_match_lax_topk():
         P = len(s)
         num_pages = (seq + page - 1) // page
         sel, slot, nv = _exact_topk_select(
-            jnp.asarray(s.reshape(1, P // 128, 128)),
+            jnp.asarray(s.reshape(P // 128, 128)), 1,
             jnp.int32(num_pages), jnp.int32(num_pages - 1), K)
         Kp = ((K + 127) // 128) * 128
-        ids = np.asarray(_compact_ids(sel[0], slot[0], Kp))[0]
+        ids = np.asarray(_compact_ids(sel, slot, Kp))[0]
         got = sorted(ids[:int(nv)].astype(np.int64).tolist())
         idx, nv2 = select_pages(jnp.asarray(s)[None, None],
                                 jnp.asarray([seq], jnp.int32), page, K,
