@@ -32,6 +32,30 @@ _NEG_INF = float("-inf")
 _POS_INF = float("inf")
 
 
+def _repair_approx(av: jnp.ndarray, ai: jnp.ndarray,
+                   num_pages: jnp.ndarray,
+                   budget_pages: int) -> jnp.ndarray:
+    """Branch-free per-row soundness repair for approx_max_k output.
+
+    av/ai: [B, H, K] approx values/indices; num_pages: [B]. Any row
+    whose returned slots contain -inf below num_valid (a PartialReduce
+    bin collision surfaced a dropped page), or that is short enough for
+    collisions to be likely (num_pages <= 2K), is replaced by its LAST
+    min(K, num_pages) page ids — always in-bounds, duplicate-free,
+    includes the forced last page, and exactly equal to the all-pages
+    (dense) selection when num_pages <= K.
+    """
+    slot = jax.lax.broadcasted_iota(jnp.int32, ai.shape, 2)
+    nv = jnp.minimum(jnp.int32(budget_pages), num_pages)
+    real = slot < nv[:, None, None]
+    bad = jnp.any(jnp.where(real, av == _NEG_INF, False),
+                  axis=-1, keepdims=True)                # [B, H, 1]
+    short = (num_pages <= 2 * budget_pages)[:, None, None]
+    window = (jnp.maximum(num_pages - budget_pages, 0)[:, None, None]
+              + slot)                                     # [B, H, K]
+    return jnp.where(jnp.logical_or(bad, short), window, ai)
+
+
 def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
                  budget_pages: int,
                  sort_by_page: bool = True,
@@ -55,21 +79,21 @@ def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
         exactness certificate (count(s >= min returned score) must
         equal K per row+head) with a ``lax.cond`` fallback to the full
         sort when the certificate fails — exact top-K semantics at
-        ~2x the speed on long rows. Falls back statically like
-        "approx" when the pool is small or off-TPU.
+        ~2.4x the speed on long rows (13.3 vs 31.5 us at P=2048,
+        exp/topk_probe.py). Statically downgraded to "exact" when the
+        pool is small, off-TPU, or P > 16*K where the certificate is
+        measured unreliable (64% of rows fail at P=8192, making
+        approx+sort a serial net loss — the r01->r02 128K regression).
         "approx" = ``lax.approx_max_k`` (TPU PartialReduce, ~15 us,
-        recall_target 0.95 — measured recall 1.0 on long-context score
-        distributions, mirroring the reference's fp16 radix top-k tie
-        behavior, `decode_select_k.cuh:26-62`). CAUTION: approx is
-        only sound when every row has num_pages >> budget_pages — for
-        short rows (num_pages near or below the budget) PartialReduce
-        bin collisions can drop valid pages and surface -inf slots
-        below ``num_valid``, whose clamped ids would attend
-        uninitialized pool pages. Guarded twice: statically (falls
-        back to exact off-TPU or when the pool is too small) and at
-        runtime (``lax.cond`` to exact whenever ANY row has
-        num_pages < 4*budget_pages — e.g. a freshly admitted short
-        sequence in a continuous-batching batch). Opt in per
+        recall_target 0.95, mirroring the reference's fp16 radix
+        top-k tie behavior, `decode_select_k.cuh:26-62`) followed by a
+        branch-free per-row soundness repair (``_repair_approx``): for
+        short rows PartialReduce bin collisions can drop valid pages
+        and surface -inf slots below ``num_valid``, whose clamped ids
+        would attend uninitialized pool pages — such rows fall back to
+        their last min(K, num_pages) pages. (r2 used a runtime
+        lax.cond to the full sort instead; its fusion barrier cost the
+        composed serving pipeline ~40 us/step at 32K.) Opt in per
         deployment via QuestConfig.topk_method.
 
     Returns:
@@ -97,6 +121,15 @@ def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
         if not (jax.default_backend() == "tpu"
                 and P >= 4 * budget_pages and P >= 256):
             method = "exact"
+    if method == "exact_fast" and P > 16 * budget_pages:
+        # Measured (exp/topk_probe.py, committed log exp/r3_chip):
+        # the exactness certificate holds on 100% of rows at
+        # P=16K (13.3 vs 31.5 us for the full sort) but fails on 64%
+        # of rows at P=64K, where paying approx + the cond'd full
+        # sort SERIALLY is a net loss (134.7 vs 124.9 us) — the
+        # r01->r02 128K regression. Statically skip the certificate
+        # path for pools where it is known unreliable.
+        method = "exact"
     if method == "exact_fast":
         # Verified-exact selection: run the fast approx reduction, then
         # certify it. Let thr = min score among the K returned slots.
@@ -129,16 +162,23 @@ def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
         # Static pool size is necessary but not sufficient: soundness
         # is per ROW (a freshly admitted short sequence in a
         # continuous-batching batch has num_pages near the budget even
-        # though the pool is large). lax.cond runs only the taken
-        # branch, so a batch of all-long rows pays nothing extra and
-        # any short row forces the exact sort for that step.
-        all_rows_long = jnp.all(num_pages >= 4 * budget_pages)
-        _, indices = jax.lax.cond(
-            all_rows_long,
-            lambda x: tuple(jax.lax.approx_max_k(x, budget_pages,
-                                                 recall_target=0.95)),
-            lambda x: tuple(jax.lax.top_k(x, budget_pages)),
-            s)
+        # though the pool is large — PartialReduce can then surface
+        # -inf slots below num_valid whose clamped ids would attend
+        # uninitialized pool pages). r2 guarded this with a runtime
+        # lax.cond to the full sort; measured on chip, the cond's
+        # fusion barrier cost the composed serving pipeline ~40 us per
+        # step at 32K (the r01->r02 serving regression). Replaced with
+        # a branch-free PER-ROW repair: any row whose returned slots
+        # contain -inf below num_valid (or that is short enough for
+        # collisions, num_pages <= 2K) falls back to its LAST
+        # min(K, num_pages) pages — always in-bounds, duplicate-free,
+        # includes the forced last page, and exactly equal to the
+        # all-pages (dense) selection when num_pages <= K. Long rows
+        # pay one masked reduce; short/degraded rows trade approx
+        # page-ranking for a recency window on that step only.
+        av, ai = jax.lax.approx_max_k(s, budget_pages,
+                                      recall_target=0.95)
+        indices = _repair_approx(av, ai, num_pages, budget_pages)
     else:
         _, indices = jax.lax.top_k(s, budget_pages)
     # Junk slots (>= num_valid) may name padded page ids beyond the pool;

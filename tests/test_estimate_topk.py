@@ -194,3 +194,27 @@ def test_fp8_metadata_selection_overlap():
     out = eng.generate([rng.integers(1, 256, size=20).tolist()],
                        max_new_tokens=4)
     assert len(out[0]) == 4
+
+
+def test_repair_approx_rows():
+    """Per-row soundness repair for approx selection (ops/topk.py):
+    rows with -inf below num_valid or short rows get their last
+    min(K, num_pages) pages; healthy long rows keep approx output."""
+    import jax.numpy as jnp
+    from quest_tpu.ops.topk import _repair_approx
+
+    K = 4
+    # [B=3, H=1, K]: row 0 healthy-long (num_pages=32), row 1 has an
+    # -inf surfaced below num_valid (num_pages=16), row 2 short
+    # (num_pages=3 <= K).
+    av = jnp.asarray([[[9.0, 8.0, 7.0, 6.0]],
+                      [[9.0, -jnp.inf, 7.0, 6.0]],
+                      [[jnp.inf, 1.0, -jnp.inf, -jnp.inf]]])
+    ai = jnp.asarray([[[31, 2, 17, 5]],
+                      [[15, 0, 3, 7]],
+                      [[2, 0, 9, 9]]], dtype=jnp.int32)
+    num_pages = jnp.asarray([32, 16, 3], jnp.int32)
+    out = np.asarray(_repair_approx(av, ai, num_pages, K))
+    assert out[0, 0].tolist() == [31, 2, 17, 5]        # untouched
+    assert out[1, 0].tolist() == [12, 13, 14, 15]      # last-K window
+    assert out[2, 0].tolist() == [0, 1, 2, 3]          # == all pages
