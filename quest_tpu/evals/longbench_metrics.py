@@ -93,6 +93,41 @@ def count_score(prediction: str, ground_truth: str, **kw) -> float:
     return right / len(numbers)
 
 
+def _zh_chars(s: str) -> List[str]:
+    """Character-level tokens for Chinese text: the reference segments
+    with jieba (`metrics.py`); a dependency-free build uses per-character
+    tokens, which the LongBench authors note is a close proxy for
+    CJK F1/rouge. Whitespace and punctuation are dropped."""
+    s = re.sub(r"\s+", "", s.lower())
+    drop = set(string.punctuation) | set("，。？！；：""''（）《》、…—·")
+    return [ch for ch in s if ch not in drop]
+
+
+def qa_f1_zh_score(prediction: str, ground_truth: str, **kw) -> float:
+    p, g = _zh_chars(prediction), _zh_chars(ground_truth)
+    if not p or not g:
+        return 0.0
+    return _f1(p, g)
+
+
+def rouge_zh_score(prediction: str, ground_truth: str, **kw) -> float:
+    p, g = _zh_chars(prediction), _zh_chars(ground_truth)
+    if not p or not g:
+        return 0.0
+    lcs = _lcs_len(p, g)
+    if lcs == 0:
+        return 0.0
+    prec, rec = lcs / len(p), lcs / len(g)
+    return 2 * prec * rec / (prec + rec)
+
+
+def retrieval_zh_score(prediction: str, ground_truth: str, **kw) -> float:
+    m = re.search(r"段落(\d+)", ground_truth)
+    gold = m.group(1) if m else normalize_answer(ground_truth)
+    found = re.findall(r"\d+", prediction)
+    return float(gold in found)
+
+
 def code_sim_score(prediction: str, ground_truth: str, **kw) -> float:
     all_lines = prediction.lstrip("\n").split("\n")
     pred = ""
@@ -122,6 +157,12 @@ TASK_METRICS = {
     "passage_count": count_score,
     "lcc": code_sim_score,
     "repobench-p": code_sim_score,
+    # Chinese tasks (char-level, see _zh_chars)
+    "multifieldqa_zh": qa_f1_zh_score,
+    "dureader": rouge_zh_score,
+    "vcsum": rouge_zh_score,
+    "lsht": classification_score,
+    "passage_retrieval_zh": retrieval_zh_score,
 }
 
 

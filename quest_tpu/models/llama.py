@@ -40,7 +40,7 @@ from quest_tpu.kv.paged_kv import (PagedKVCache, append_decode_at,
                                    append_prefill_at)
 from quest_tpu.models.quantize import qdot
 from quest_tpu.ops.dense_decode import dense_decode_attention
-from quest_tpu.ops.estimate import page_scores
+from quest_tpu.ops.estimate import page_scores, page_scores_per_qhead
 from quest_tpu.ops.fused_decode import fused_sparse_decode
 from quest_tpu.ops.prefill import prefill_attention
 from quest_tpu.ops.rms_norm import rms_norm
@@ -152,14 +152,23 @@ class QuestModel:
                     block_tab=cache.block_tab,
                     block_pages=cache.block_pages)
         if use_sparse:
+            per_q = quest.selection == "per_q_head"
             with jax.named_scope("quest_estimate"):
                 # XLA einsum, NOT ops.estimate.page_scores_kernel: the
                 # Pallas variant wins standalone (~51 vs 64 us) but
                 # composed with the sparse-attention custom call it
                 # costs ~+180 us (operand copies between custom calls).
-                scores = page_scores(q, cache.k_max[layer],
-                                     cache.k_min[layer],
-                                     group_agg=quest.group_agg)
+                if per_q:
+                    # Reference-faithful per-QUERY-head selection
+                    # (`/root/reference/quest/utils/controller.py:106,119`,
+                    # `decode_page.cuh:325-351`): scores and top-k stay
+                    # [B, Hq, P] — each query head selects its own pages.
+                    scores = page_scores_per_qhead(q, cache.k_max[layer],
+                                                   cache.k_min[layer])
+                else:
+                    scores = page_scores(q, cache.k_max[layer],
+                                         cache.k_min[layer],
+                                         group_agg=quest.group_agg)
             with jax.named_scope("quest_topk"):
                 idx, num_valid = select_pages(scores, seq_lens,
                                               quest.page_size,
@@ -168,7 +177,7 @@ class QuestModel:
             with jax.named_scope("quest_sparse_attn"):
                 return sparse_decode_attention(
                     q, cache.kv_pages, idx, num_valid, seq_lens,
-                    sm_scale=sm, layer=layer,
+                    sm_scale=sm, layer=layer, per_q_head=per_q,
                     block_tab=cache.block_tab,
                     block_pages=cache.block_pages)
         with jax.named_scope("dense_decode_attn"):

@@ -168,3 +168,28 @@ def test_sim_attention_selects_heavy_chunk():
     # heavy key dominates: output ~ its value
     np.testing.assert_allclose(np.asarray(out[0, 0]),
                                np.asarray(v[0, 0, 40]), atol=0.2)
+
+
+def test_longbench_all_tasks_have_prompts_and_metrics():
+    """Every scorable task has a prompt + maxlen and vice versa — all 21
+    LongBench tasks (`/root/reference/evaluation/LongBench/config/
+    dataset2prompt.json`, `eval.py:18-40`)."""
+    from quest_tpu.evals.longbench import TASK_MAXLEN, TASK_PROMPTS
+    from quest_tpu.evals.longbench_metrics import TASK_METRICS
+
+    assert len(TASK_PROMPTS) == 21
+    assert set(TASK_PROMPTS) == set(TASK_MAXLEN)
+    assert set(TASK_METRICS) == set(TASK_PROMPTS)
+    for task, tpl in TASK_PROMPTS.items():
+        assert "{context}" in tpl, task
+
+
+def test_zh_metrics():
+    from quest_tpu.evals.longbench_metrics import (qa_f1_zh_score,
+                                                   retrieval_zh_score,
+                                                   rouge_zh_score)
+    assert qa_f1_zh_score("北京是中国的首都", "中国的首都是北京") > 0.9
+    assert qa_f1_zh_score("完全不同", "毫无关联答案") < 0.3
+    assert rouge_zh_score("会议讨论了预算", "会议讨论了明年的预算") > 0.7
+    assert retrieval_zh_score("答案是段落3", "段落3") == 1.0
+    assert retrieval_zh_score("答案是段落4", "段落3") == 0.0
