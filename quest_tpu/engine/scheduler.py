@@ -178,11 +178,15 @@ class ContinuousBatchingEngine:
         # pages_retain on its physical blocks, so shared KV survives
         # the donor request. The borrower's per-slot min/max metadata
         # is recomputed on device from the shared pages at admission
-        # (kv/paged_kv.py:recompute_meta_rows). Mesh mode is excluded:
-        # block ids there are dp-group-local inside shard_map, and the
-        # metadata recompute would need to run under the mesh.
+        # (kv/paged_kv.py:recompute_meta_rows). Under the mesh this
+        # runs INSIDE shard_map (parallel/tp.py:make_recompute_fn):
+        # block-table values are dp-group-local, so each shard gathers
+        # from its own pool slice — outside shard_map GSPMD would
+        # all-gather the whole physical pool. Registries, allocators,
+        # and published block ids are already per dp group.
         self._bpp = bpp
-        self._prefix_cap = 0 if mesh is not None else prefix_cache_entries
+        self._prefix_cap = prefix_cache_entries
+        self._recompute_fns: Dict[int, object] = {}  # bucket -> fn
         from collections import OrderedDict
         self._prefix: List[OrderedDict] = [OrderedDict()
                                            for _ in range(dp)]
@@ -337,8 +341,17 @@ class ContinuousBatchingEngine:
                 while bucket < n:
                     bucket *= 2
                 bucket = min(bucket, self.quest.max_pages)
-                self.cache = recompute_meta_rows(
-                    self.cache, jnp.int32(b), n_pages=bucket)
+                if self.mesh is None:
+                    self.cache = recompute_meta_rows(
+                        self.cache, jnp.int32(b), n_pages=bucket)
+                else:
+                    fn = self._recompute_fns.get(bucket)
+                    if fn is None:
+                        from quest_tpu.parallel.tp import make_recompute_fn
+                        fn = make_recompute_fn(self.mesh, bucket)
+                        self._recompute_fns[bucket] = fn
+                    self.cache = fn(self.cache,
+                                    jnp.asarray([b], jnp.int32))
 
     def _publish_prefix(self, b: int, s: _Slot) -> None:
         """Register the completed prompt's full blocks for reuse. Each

@@ -460,7 +460,8 @@ def append_prefill_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("n_pages",), donate_argnums=(0,))
-def recompute_meta_rows(cache: PagedKVCache, b, n_pages: int):
+def recompute_meta_rows(cache: PagedKVCache, b, n_pages: int,
+                        active=None):
     """Recompute the min/max-Key metadata of slot ``b``'s first
     ``n_pages`` logical pages from the physical pool.
 
@@ -471,6 +472,11 @@ def recompute_meta_rows(cache: PagedKVCache, b, n_pages: int):
     KV data itself: one gather + page-axis reduce over all layers.
     ``n_pages`` must cover only FULL pages (block-aligned prefixes
     guarantee this).
+
+    ``active`` (optional bool scalar): when False, the write is a
+    no-op on slot ``b``'s rows — the SPMD select used by the sharded
+    wrapper (parallel/tp.py:make_recompute_fn), where every dp shard
+    executes the recompute but only the owning group keeps it.
     """
     logical = jnp.arange(n_pages)
     blk = cache.block_tab[b, logical // cache.block_pages]
@@ -479,6 +485,9 @@ def recompute_meta_rows(cache: PagedKVCache, b, n_pages: int):
     kf = k.astype(jnp.float32)
     kmax = jnp.max(kf, axis=3).astype(cache.k_max.dtype)
     kmin = jnp.min(kf, axis=3).astype(cache.k_min.dtype)
+    if active is not None:
+        kmax = jnp.where(active, kmax, cache.k_max[:, b, :, :n_pages])
+        kmin = jnp.where(active, kmin, cache.k_min[:, b, :, :n_pages])
     return dataclasses.replace(
         cache,
         k_max=cache.k_max.at[:, b, :, :n_pages].set(kmax),

@@ -350,3 +350,40 @@ def test_prefix_registry_never_starves_admission(setup):
     outs = eng.run(reqs)
     assert set(outs) == set(range(6))
     assert all(len(v) == 4 for v in outs.values())
+
+
+def test_prefix_cache_under_mesh(setup):
+    """Prefix caching is live under the (dp=2, tp=2) mesh (r2 VERDICT
+    #9): the borrower aliases the donor's group-local blocks, the
+    metadata recompute runs INSIDE shard_map (per-group pool gather,
+    parallel/tp.py:make_recompute_fn), and generations match an
+    unsharded engine without prefix caching exactly."""
+    from quest_tpu.parallel import make_mesh
+
+    cfg, _, params = setup
+    quest = _prefix_quest()
+    rng = np.random.default_rng(33)
+    prefix = rng.integers(1, 256, size=80).tolist()   # 2 full blocks
+    tail_a = rng.integers(1, 256, size=11).tolist()
+    tail_b = rng.integers(1, 256, size=17).tolist()
+
+    mesh = make_mesh(2, 2)
+    eng = ContinuousBatchingEngine(cfg, quest, params, max_batch=4,
+                                   prefill_bucket=16, mesh=mesh)
+    out1 = eng.run([Request(uid=0, prompt=prefix + tail_a,
+                            max_new_tokens=6)])
+    assert eng.prefix_hits == 0
+    out2 = eng.run([Request(uid=1, prompt=prefix + tail_b,
+                            max_new_tokens=6)])
+    assert eng.prefix_hits == 1
+    assert eng.prefix_hit_tokens == 64
+
+    plain = ContinuousBatchingEngine(cfg, quest, params, max_batch=2,
+                                     prefill_bucket=16,
+                                     prefix_cache_entries=0)
+    ref1 = plain.run([Request(uid=0, prompt=prefix + tail_a,
+                              max_new_tokens=6)])
+    ref2 = plain.run([Request(uid=1, prompt=prefix + tail_b,
+                              max_new_tokens=6)])
+    assert out1[0] == ref1[0]
+    assert out2[1] == ref2[1]
