@@ -304,27 +304,35 @@ def main():
         "dense_us_32k": round(t_dense, 1),
         "sparse_us_32k": round(t_sparse, 1),
     }
+    # Raw per-stage numbers (auditable: which pipeline won each point).
+    for k, v in r.items():
+        if k != "dense_us":
+            result[k.replace("_us", "_us_32k")] = round(v, 1)
 
     # Long-context point (the reference's bench axes reach 131072;
     # its published headline is the 32K point above).
     r128 = {}
     r128.update(spawn("dense", 131072))
     r128.update(spawn("unfused", 131072))
-    # At 128K reuse whichever fused config won at 32K (compile cost:
-    # only one more megakernel build).
-    if r.get("fused_us", float("inf")) <= r.get("unfused_us",
-                                                float("inf")):
-        r128.update(spawn("fused", 131072))
+    # Always measure fused at 128K: its overlap advantage GROWS with
+    # context (the metadata stream is 4x longer), so a narrow 32K loss
+    # must not hide the point where fusion matters most (r2 VERDICT).
+    r128.update(spawn("fused", 131072))
     r128.update(spawn("unfused_serving", 131072))
+    r128.update(spawn("fused_fp8", 131072))
     td = r128.get("dense_us")
     ts = min(r128.get("unfused_us", float("inf")),
              r128.get("fused_us", float("inf")))
-    tf = r128.get("approx_fp8_us", float("inf"))
+    tf = min(r128.get("approx_fp8_us", float("inf")),
+             r128.get("fused_fp8_us", float("inf")))
     if td and ts < float("inf"):
         log(f"128K: dense {td:.0f} us, sparse {ts:.0f} us, "
             f"speedup {td/ts:.2f}x (serving cfg {td/tf:.2f}x)")
         result["speedup_128k_budget2048"] = round(td / ts, 3)
         result["speedup_128k_serving_cfg"] = round(td / tf, 3)
+        for k, v in r128.items():
+            if k != "dense_us":
+                result[k.replace("_us", "_us_128k")] = round(v, 1)
 
     print(json.dumps(result))
 
