@@ -141,9 +141,11 @@ def run_stage(stage: str, ctx: int):
 
     def fused_step(q, env):
         kv_pages, kmax, kmin = env
-        return fb(q, fused_sparse_decode(q, kv_pages, kmax, kmin,
-                                         seq, sm_scale=sm,
-                                         budget_pages=S))
+        return fb(q, fused_sparse_decode(
+            q, kv_pages, kmax, kmin, seq, sm_scale=sm, budget_pages=S,
+            select_group=quest.fused_select_group,
+            block_p=quest.fused_block_p,
+            gather_slots=quest.fused_gather_slots))
 
     if stage == "dense":
         t = bench_op(

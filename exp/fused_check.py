@@ -26,6 +26,7 @@ def main():
 
     sgs = [int(x) for x in sys.argv[1:]] or [1, 2, 4, 8]
     B, Hkv, G, P, page, D, K = 1, 8, 1, 256, 16, 128, 24
+    sgs = [s for s in sgs if Hkv % s == 0]   # groups must divide heads
     Hq = Hkv * G
     rng = np.random.default_rng(3)
     kv = jnp.asarray(

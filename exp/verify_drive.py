@@ -141,16 +141,19 @@ def fused():
         sm = 1.0 / np.sqrt(D)
         kmax = kv[:, :, :, 0].max(axis=3)
         kmin = kv[:, :, :, 0].min(axis=3)
-        got = fused_sparse_decode(q, kv, kmax, kmin, seq, sm_scale=sm,
-                                  budget_pages=S, interpret=False)
         scores = page_scores(q, kmax, kmin, group_agg="sum")
         idx, nv = select_pages(scores, seq, page, S)
         want = sparse_decode_attention_reference(
             q, kv[:, :, :, 0].astype(jnp.float32),
             kv[:, :, :, 1].astype(jnp.float32), idx, nv, seq, sm)
-        e = relerr(got, want)
-        print(f"fused {name}: rel_err {e:.2e}", flush=True)
-        assert e < 2e-2, (name, e)
+        for sg in sorted({1, Hkv}):       # serial + batched selection
+            got = fused_sparse_decode(q, kv, kmax, kmin, seq,
+                                      sm_scale=sm, budget_pages=S,
+                                      select_group=sg, gather_slots=3,
+                                      interpret=False)
+            e = relerr(got, want)
+            print(f"fused {name} SG={sg}: rel_err {e:.2e}", flush=True)
+            assert e < 2e-2, (name, sg, e)
     print("FUSED OK", flush=True)
 
 

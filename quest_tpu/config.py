@@ -112,6 +112,15 @@ class QuestConfig:
     # Exact-selection semantics; requires per_kv_head selection and a
     # pool of >= 128 pages (models/llama.py gates and falls back).
     fused_decode: bool = False
+    # Fused-kernel tuning (v5e chip sweep, exp/r3_chip: at 128K the
+    # best measured config is SG=8/bp=1024 — 403 us vs dense 2857, the
+    # context regime where the engine actually picks the fused path;
+    # the model clamps select_group to the largest power of two
+    # dividing the local KV-head count). block_p is the metadata pages
+    # scored per grid step (lane width of the in-kernel score matrix).
+    fused_select_group: int = 8
+    fused_block_p: int = 1024
+    fused_gather_slots: int = 3
     # Physical-pool allocation granularity, in pages. The shared data
     # pool (kv/paged_kv.py) is handed out in blocks of this many
     # CONTIGUOUS pages, so the per-slot page table is tiny

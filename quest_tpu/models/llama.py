@@ -143,12 +143,22 @@ class QuestModel:
                 and cache.k_max.shape[3] >= 128
                 and cache.k_max.shape[3] % 64 == 0
                 and quest.page_budget <= 256):
+            # select_group must divide the (possibly TP-sharded local)
+            # KV-head count and be a power of two (butterfly band
+            # reductions): clamp the configured value down.
+            sg = 1
+            while (sg * 2 <= quest.fused_select_group
+                   and cfg.num_kv_heads % (sg * 2) == 0):
+                sg *= 2
             with jax.named_scope("quest_fused_decode"):
                 return fused_sparse_decode(
                     q, cache.kv_pages, cache.k_max, cache.k_min,
                     seq_lens, sm_scale=sm,
                     budget_pages=quest.page_budget,
                     group_agg=quest.group_agg, layer=layer,
+                    select_group=sg,
+                    block_p=quest.fused_block_p,
+                    gather_slots=quest.fused_gather_slots,
                     block_tab=cache.block_tab,
                     block_pages=cache.block_pages)
         if use_sparse:

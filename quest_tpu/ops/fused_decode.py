@@ -125,24 +125,30 @@ def _exact_topk_select(s2, SG, num_pages, last_page, K):
 
     num_valid = jnp.minimum(jnp.int32(K), num_pages)
 
-    # Segment matrices: band sums as matmuls. seg[g, r] selects band
-    # g's rows; segT broadcasts a [SG, 1] band value back to its rows.
-    gi = jax.lax.broadcasted_iota(jnp.int32, (SG, SGN), 0)
-    rj = jax.lax.broadcasted_iota(jnp.int32, (SG, SGN), 1)
-    seg = jnp.where(rj // nbm == gi, 1.0, 0.0)            # [SG, SGN]
-    ri = jax.lax.broadcasted_iota(jnp.int32, (SGN, SG), 0)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (SGN, SG), 1)
-    segT = jnp.where(ri // nbm == gj, 1.0, 0.0)           # [SGN, SG]
+    # Band reductions as log2(nbm) BUTTERFLY shuffles on the [SGN, 1]
+    # column (partner row = row ^ s): bands are power-of-2 row ranges,
+    # so each step stays band-internal and the result is band-uniform.
+    # The first implementation used two tiny segment matmuls per radix
+    # pass instead — 64 serially-dependent MXU dispatches per group
+    # measured ~106 us of the kernel's 297 (QF_ABLATE=noselect).
+    assert nbm & (nbm - 1) == 0, nbm
+    rcol = jax.lax.broadcasted_iota(jnp.int32, (SGN, 1), 0)
+
+    def _butterfly(col, combine):
+        s = 1
+        while s < nbm:
+            down = jnp.roll(col, -s, axis=0)   # row + s
+            up = jnp.roll(col, s, axis=0)      # row - s
+            partner = jnp.where((rcol // s) % 2 == 0, down, up)
+            col = combine(col, partner)
+            s *= 2
+        return col
 
     def band_sum_rows(x_i32):
         """[SGN, bp] i32 -> [SGN, 1] i32: per-band total, band-uniform
         (counts <= 2^24, exact in f32)."""
         rc = jnp.sum(x_i32.astype(jnp.float32), axis=1, keepdims=True)
-        cb = jax.lax.dot_general(seg, rc, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        cr = jax.lax.dot_general(segT, cb, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        return cr.astype(jnp.int32)
+        return _butterfly(rc, jnp.add).astype(jnp.int32)
 
     one = jnp.int32(1)
     active = jnp.ones((SGN, bp), jnp.int32)
@@ -204,33 +210,34 @@ def _band_cumsum(x, nbm):
     return (cs + off).astype(jnp.int32)
 
 
-def _compact_ids(sel, slot, Kp, chunk_rows: int = 16):
+def _compact_ids(sel, slot, Kp):
     """Scatter page ids to their slots: out[1, Kp] f32, ascending page
     order, zeros at junk slots.
 
-    One-hot built as a 3D broadcast compare ([rows,lanes,1] slot vs
-    [1,1,Kp] iota) so the leading dims merge into sublanes layout-free
-    — no cross-lane relayout, no per-row loop; cost is O(P*Kp) VPU
-    compares + a sublane-tree reduction, chunked to cap the [chunk,
-    lanes, Kp] f32 temporary at 1 MB."""
+    Rank-2 only (see _exact_topk_select): ONE [rows, lanes] ->
+    [lanes, rows] transpose of the masked slot matrix, then per row a
+    [lanes, Kp] one-hot compare and a [1, lanes] x [lanes, Kp] MXU
+    matmul accumulating ids into their slots — no rank-3 one-hot, no
+    cross-sublane tree reduction (the previous form's [rows*lanes, Kp]
+    reshape relayout measured as part of a ~115 us compaction bill,
+    QF_ABLATE=nocompact)."""
     rows, lanes = sel.shape
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Kp), 2)
+    masked = jnp.where(sel > 0, slot, -1)            # [rows, lanes]
+    slotT = masked.T                                 # [lanes, rows]
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (lanes, Kp), 1)
     acc = jnp.zeros((1, Kp), jnp.float32)
-    for r0 in range(0, rows, chunk_rows):
-        cr = min(chunk_rows, rows - r0)
-        sl = jnp.where(sel[r0:r0 + cr] > 0, slot[r0:r0 + cr],
-                       -1)[:, :, None]               # [cr, lanes, 1]
-        oh = jnp.where(sl == k_iota, 1.0, 0.0)       # [cr, lanes, Kp]
-        pid = (jax.lax.broadcasted_iota(jnp.int32, (cr, lanes), 0)
-               * lanes + r0 * lanes
-               + jax.lax.broadcasted_iota(jnp.int32, (cr, lanes), 1))
-        contrib = oh * pid[:, :, None].astype(jnp.float32)
-        acc = acc + jnp.sum(contrib.reshape(cr * lanes, Kp), axis=0,
-                            keepdims=True)
+    for r in range(rows):
+        oh = jnp.where(slotT[:, r:r + 1] == k_iota, 1.0, 0.0)
+        # (iota must be integer-typed: Mosaic rejects f32 tpu.iota)
+        pid = (jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+               + jnp.int32(r * lanes)).astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            pid, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     return acc
 
 
-def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, SG, agg,
+def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, nbt, bp, nms, ngs, gsm, SG, agg,
             sm_scale, layer, bp2, meta_ref, tab_ref, qc_ref, kmax_hbm,
             kmin_hbm, kv_hbm, o_ref, mbuf, msem, gbuf, gsem, scores_scr,
             sel_scr, slot_scr, idx_scr, ls_scr):
@@ -302,7 +309,7 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, SG, agg,
         # dim > 1 trip a Mosaic layout bug (layout.h Check failed:
         # arr.size() >= layout_rank) when their loads feed reductions;
         # the same ops on a value RESHAPED from a 2-D load are fine.
-        scores_scr[pl.ds((fh % SG) * nbm + mj, 1), :] = srow
+        scores_scr[pl.ds((fh % SG) * nbt + mj, 1), :] = srow
 
     # --- group complete: batched exact top-K select ------------------
     # SG heads select together (batched radix — the 32-pass descent's
@@ -326,23 +333,23 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, SG, agg,
         par = (fh // SG) % 2
         row = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
-        pid = (row % nbm) * bp + lane
+        pid = (row % nbt) * bp + lane
         is_last = jnp.where(pid == last_page, sel, jnp.int32(0))
         # Last-page slot per band: one nonzero per band, lane-reduced
         # then band-summed to a scalar at store time (exact in f32).
         ls_rows = jnp.sum((is_last * slot).astype(jnp.float32), axis=1,
-                          keepdims=True)                 # [SG*nbm, 1]
-        # Per-head stores at nbm8-strided (8-aligned) static offsets:
-        # the per-head read below uses a DYNAMIC row start h2*nbm8,
+                          keepdims=True)                 # [SG*nbt, 1]
+        # Per-head stores at nbt8-strided (8-aligned) static offsets:
+        # the per-head read below uses a DYNAMIC row start h2*nbt8,
         # which Mosaic must prove sublane-aligned (multiple of 8).
-        nbm8 = max(8, nbm)
+        nbt8 = max(8, nbt)
         for h2 in range(SG):
-            sel_scr[pl.ds(h2 * nbm8, nbm), :] = (
-                sel[h2 * nbm:(h2 + 1) * nbm])
-            slot_scr[pl.ds(h2 * nbm8, nbm), :] = (
-                slot[h2 * nbm:(h2 + 1) * nbm])
+            sel_scr[pl.ds(h2 * nbt8, nbt), :] = (
+                sel[h2 * nbt:(h2 + 1) * nbt])
+            slot_scr[pl.ds(h2 * nbt8, nbt), :] = (
+                slot[h2 * nbt:(h2 + 1) * nbt])
             ls_scr[par, h2] = jnp.sum(
-                ls_rows[h2 * nbm:(h2 + 1) * nbm]).astype(jnp.int32)
+                ls_rows[h2 * nbt:(h2 + 1) * nbt]).astype(jnp.int32)
 
     # --- one head per step: compact its selection + issue its gathers.
     # Head hh0 = fh-SG+1 compacts/issues at (fh, nbm-1): its group's
@@ -365,9 +372,9 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, bp, nms, ngs, gsm, SG, agg,
             ids = jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
             idx_scr[pl.ds(par * SG + h2, 1), :] = ids
         else:
-            nbm8 = max(8, nbm)
-            sel_h = sel_scr[pl.ds(h2 * nbm8, nbm), :]
-            slot_h = slot_scr[pl.ds(h2 * nbm8, nbm), :]
+            nbt8 = max(8, nbt)
+            sel_h = sel_scr[pl.ds(h2 * nbt8, nbt), :]
+            slot_h = slot_scr[pl.ds(h2 * nbt8, nbt), :]
             ids = _compact_ids(sel_h, slot_h, Kp)
             idx_scr[pl.ds(par * SG + h2, 1), :] = ids.astype(jnp.int32)
         if "nogather" in _ABLATE:
@@ -495,6 +502,11 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
              default=0)
     assert bp, f"pool pages {P} must be a multiple of 64 (and >= 128)"
     nbm = P // bp
+    # Band rows padded to a power of two (butterfly reductions; junk
+    # rows carry page ids >= P, which the validity mask kills).
+    nbt = 1
+    while nbt < nbm:
+        nbt *= 2
     SG = select_group
     assert Hkv % SG == 0, (Hkv, SG)   # groups never straddle batch rows
     assert nbm >= 2
@@ -545,9 +557,9 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
             pltpu.SemaphoreType.DMA((nms,)),
             pltpu.VMEM((ngs, K, 2, page, D), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((ngs, gsm)),
-            pltpu.VMEM((SG * nbm, bp), jnp.float32),
-            pltpu.VMEM((SG * max(8, nbm), bp), jnp.int32),
-            pltpu.VMEM((SG * max(8, nbm), bp), jnp.int32),
+            pltpu.VMEM((SG * nbt, bp), jnp.float32),
+            pltpu.VMEM((SG * max(8, nbt), bp), jnp.int32),
+            pltpu.VMEM((SG * max(8, nbt), bp), jnp.int32),
             pltpu.VMEM((2 * SG, Kp), jnp.int32),
             pltpu.SMEM((2, SG), jnp.int32),
         ],
@@ -563,7 +575,7 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
                     axis=1)                          # [HT+SG, SG+1, ...]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, page, D, K, Kp, G, Gp, Hkv, nbm, bp,
+        functools.partial(_kernel, page, D, K, Kp, G, Gp, Hkv, nbm, nbt, bp,
                           nms, ngs, gsm, SG, group_agg, sm_scale, layer,
                           bp2),
         grid_spec=grid_spec,

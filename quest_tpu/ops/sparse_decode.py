@@ -193,7 +193,7 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
 def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             seq_lens, *, sm_scale: float,
                             pages_per_block: int = 128,
-                            num_slots: int = 3,
+                            num_slots: int = 4,
                             interpret: bool | None = None,
                             layer: int | None = None,
                             per_q_head: bool = False,
@@ -217,7 +217,10 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
       seq_lens: [B] int32 sequence lengths incl. the current token.
       sm_scale: softmax scale (1/sqrt(D)).
       pages_per_block / num_slots: gather granularity and VMEM slot
-        ring depth (num_slots-1 blocks stay in flight).
+        ring depth (num_slots-1 blocks stay in flight). Defaults are
+        the measured 32K/2048 optimum on v5e (exp/unfused_tune.py:
+        128/4 -> 131 us full pipeline vs 135 at 3 slots; deeper rings
+        REGRESS — 183 us at 6 — as do smaller blocks).
 
     Returns: [B, Hq, D] f32 attention output.
     """

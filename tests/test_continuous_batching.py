@@ -43,6 +43,7 @@ def _single_reference(cfg, quest, params, prompt, n_new):
     return eng.generate([prompt], max_new_tokens=n_new)[0]
 
 
+@pytest.mark.slow
 def test_more_requests_than_slots(setup):
     cfg, quest, params = setup
     rng = np.random.default_rng(0)
@@ -63,6 +64,7 @@ def test_more_requests_than_slots(setup):
         assert outs[i] == expected, f"request {i}: {outs[i]} != {expected}"
 
 
+@pytest.mark.slow
 def test_slots_recycled_and_interleaved(setup):
     cfg, quest, params = setup
     rng = np.random.default_rng(3)
@@ -104,6 +106,7 @@ def test_eos_stops_early(setup):
     assert outs[0] == ref[:4]
 
 
+@pytest.mark.slow
 def test_shared_pool_oversubscription(setup):
     """The physical pool is SHARED and smaller than max_batch ×
     max_seq_len (VERDICT #6 done criterion): admission defers while
@@ -185,6 +188,7 @@ def test_chunked_prefill_does_not_stall_decode(setup):
     assert gens[1] == _single_reference(cfg, quest, params, long_p, 4)
 
 
+@pytest.mark.slow
 def test_sharded_serving_matches_single_stream(setup):
     """Continuous batching under a (dp=2, tp=2) mesh (VERDICT #10 done
     criterion): slots shard over dp with per-group allocators, heads/
@@ -199,18 +203,19 @@ def test_sharded_serving_matches_single_stream(setup):
     assert len(engine.pools) == 2
     rng = np.random.default_rng(21)
     prompts = [rng.integers(1, 256, size=n).tolist()
-               for n in (12, 30, 7, 21, 16, 9)]
-    n_new = [5, 3, 8, 4, 6, 2]
+               for n in (12, 30, 7, 21)]
+    n_new = [5, 3, 6, 4]
     reqs = [Request(uid=i, prompt=p, max_new_tokens=k)
             for i, (p, k) in enumerate(zip(prompts, n_new))]
     outs = engine.run(reqs)
-    assert set(outs) == set(range(6))
+    assert set(outs) == set(range(4))
     for i, (p, k) in enumerate(zip(prompts, n_new)):
         expected = _single_reference(cfg, quest, params, p, k)
         assert outs[i] == expected, f"request {i}"
     assert all(p.free_pages() == p.total_pages for p in engine.pools)
 
 
+@pytest.mark.slow
 def test_sampled_requests_burst_on_device(setup):
     """temperature > 0 requests ride the on-device sampling burst
     (decode_sample_step): full streams, valid token range, and two
@@ -352,6 +357,7 @@ def test_prefix_registry_never_starves_admission(setup):
     assert all(len(v) == 4 for v in outs.values())
 
 
+@pytest.mark.slow
 def test_prefix_cache_under_mesh(setup):
     """Prefix caching is live under the (dp=2, tp=2) mesh (r2 VERDICT
     #9): the borrower aliases the donor's group-local blocks, the

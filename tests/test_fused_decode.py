@@ -114,6 +114,7 @@ def test_fused_max_agg_and_dense_equivalence():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_engine_fused_flag_matches_unfused():
     """Model decode through the shared whole-pool cache: the fused
     megakernel (layer + block-table mode) must reproduce the unfused
@@ -128,15 +129,15 @@ def test_engine_fused_flag_matches_unfused():
     from quest_tpu.models.llama import QuestModel, init_params
 
     cfg = ModelConfig(vocab_size=128, hidden_size=64,
-                      intermediate_size=128, num_layers=3, num_heads=4,
+                      intermediate_size=128, num_layers=2, num_heads=4,
                       num_kv_heads=2, head_dim=32, dtype=jnp.float32)
     quest = QuestConfig(page_size=4, token_budget=128, max_seq_len=1024,
                         skip_layers=1, kv_dtype=jnp.float32)
     assert quest.max_pages >= 128  # fused path engages
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     rng = np.random.default_rng(5)
-    toks = rng.integers(0, 128, size=(2, 600)).astype(np.int32)
-    dec = rng.integers(0, 128, size=(4, 2)).astype(np.int32)
+    toks = rng.integers(0, 128, size=(2, 280)).astype(np.int32)
+    dec = rng.integers(0, 128, size=(2, 2)).astype(np.int32)
 
     outs = []
     for fused in (False, True):
@@ -181,6 +182,7 @@ def test_fused_fp8_metadata_runs_and_selects_like_unfused():
     assert err < 0.05, err
 
 
+@pytest.mark.slow
 def test_sharded_fused_matches_single_device():
     """Fused megakernel inside shard_map (tp over KV heads, dp over
     batch) == single-device fused output."""

@@ -58,9 +58,9 @@ def test_full_budget_matches_hf(num_kv_heads):
     np.testing.assert_allclose(np.asarray(logits), hf_logits,
                                rtol=2e-3, atol=2e-3)
 
-    # Decode three tokens and compare against HF full-context forward.
+    # Decode two tokens and compare against HF full-context forward.
     cur = toks
-    for step in range(3):
+    for step in range(2):
         nxt = np.array([int(np.asarray(logits)[0, -1].argmax())
                         if step == 0 else
                         int(np.asarray(dec_logits)[0].argmax())], np.int32)
@@ -93,6 +93,7 @@ def test_small_budget_decode_runs_and_differs_gracefully():
     assert int(np.asarray(cache.seq_lens)[0]) == 101
 
 
+@pytest.mark.slow
 def test_engine_generate_and_clear():
     """Engine lifecycle: prefill -> greedy decode == HF greedy; clear()
     resets for a second conversation."""
@@ -221,6 +222,7 @@ def test_selection_knob_changes_selection():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_batched_generation_mixed_lengths():
     hf_cfg, hf_model = make_hf_model(2)
     cfg = config_from_hf(hf_cfg)
