@@ -20,7 +20,7 @@ step() {  # step NAME TIMEOUT CMD...
 }
 
 # 0. sanity
-step sanity 120 python -c "import jax, numpy as np, jax.numpy as jnp; print(jax.devices()); print(np.asarray(jnp.ones((8,128)).sum()))" || exit 1
+step sanity 300 python -c "import jax, numpy as np, jax.numpy as jnp; print(jax.devices()); print(np.asarray(jnp.ones((8,128)).sum()))" || exit 1
 
 # 1. top-k regression diagnosis (VERDICT #2): exact/exact_fast/approx
 #    timings + certificate failure rates at P=2048 and P=8192
@@ -31,14 +31,19 @@ step verify_main 900 python exp/verify_drive.py
 
 # 3. dense kernel sweep at hardware speed (VERDICT #10): the
 #    reference's ~400-combo gtest grid analogue
-step kernel_sweep 2400 env QT_SWEEP_N=64 QT_SWEEP_TPU=1 \
+step kernel_sweep 3600 env QT_SWEEP_N=64 QT_SWEEP_TPU=1 \
   python -m pytest tests/test_kernel_sweep.py -q -p no:cacheprovider
 
-# 4. 32-layer full-size e2e rows (VERDICT #4) — independent of fused
-step e2e32_int8 2400 python scripts/bench_textgen.py --model longchat-7b \
+# 4. full-size e2e rows (VERDICT #4). Geometry must FIT one 16 GB
+#    chip: longchat (MHA) at 32 layers holds 537 MB KV per 1K ctx —
+#    32K ctx alone is 17 GB, so the MHA 32-layer row runs at 8K and
+#    the 32-layer 32K row uses llama31 (GQA, KV/4 = 4.3 GB).
+step e2e32_gqa_32k 2400 python scripts/bench_textgen.py --model llama31-8b \
   --layers 32 --ctx 32768 --budget 2048 --decode-tokens 32 --quantize 8
-step e2e32_int8_full 2400 python scripts/bench_textgen.py --model longchat-7b \
+step e2e32_gqa_32k_full 2400 python scripts/bench_textgen.py --model llama31-8b \
   --layers 32 --ctx 32768 --budget 32768 --decode-tokens 32 --quantize 8
+step e2e32_mha_8k 2400 python scripts/bench_textgen.py --model longchat-7b \
+  --layers 32 --ctx 8192 --budget 2048 --decode-tokens 32 --quantize 8
 step e2e8_128k 2400 python scripts/bench_textgen.py --model llama31-8b \
   --layers 8 --ctx 131072 --budget 2048 --decode-tokens 32 --quantize 8
 step e2e8_128k_full 2400 python scripts/bench_textgen.py --model llama31-8b \

@@ -34,12 +34,18 @@ class QuestEngine:
     """Single-host engine: paged cache + jitted prefill/decode steps."""
 
     def __init__(self, cfg: ModelConfig, quest: QuestConfig, params: Params,
-                 batch_size: int = 1, prefill_bucket: int = 256):
+                 batch_size: int = 1, prefill_bucket: int = 256,
+                 prefill_chunk: int = 16384):
         self.cfg = cfg
         self.quest = quest
         self.params = params
         self.batch_size = batch_size
         self.prefill_bucket = prefill_bucket
+        # Long prompts prefill in chunks of at most this many tokens:
+        # a single whole-prompt call materializes [B, T, hid] (+ q/k/v)
+        # activations — at 128K x 4096 hid that is several GB each and
+        # OOMs one chip (measured: 20.6 G needed vs 15.75 G HBM).
+        self.prefill_chunk = prefill_chunk
         self.model = QuestModel(cfg, quest)
         self.cache = init_cache(cfg, quest, batch_size)
 
@@ -70,24 +76,36 @@ class QuestEngine:
     def prefill(self, prompts: Sequence[Sequence[int]]) -> np.ndarray:
         """Prefill (or continue) each sequence; returns last-token logits
         [B, V]. Prompts are padded to a bucket multiple to bound jit
-        recompilation across prompt lengths."""
+        recompilation across prompt lengths; prompts longer than
+        ``prefill_chunk`` run as several chunked calls (bounds the
+        activation footprint at long context)."""
         B = self.batch_size
         assert len(prompts) == B
-        lens = np.array([len(p) for p in prompts], np.int32)
-        T = _round_up(int(lens.max()), self.prefill_bucket)
-        if int(self._host_lens.max()) + T > self.quest.max_seq_len:
-            raise ValueError(
-                f"prompt chunk of {T} (bucketed) tokens exceeds "
-                f"max_seq_len={self.quest.max_seq_len} at current fill "
-                f"{self._host_lens.max()}")
-        toks = np.zeros((B, T), np.int32)
-        for b, p in enumerate(prompts):
-            toks[b, :len(p)] = np.asarray(p, np.int32)
-        logits, self.cache = self._prefill_fn(
-            self.params, self.cache, jnp.asarray(toks), jnp.asarray(lens))
-        self._host_lens += lens
-        # logits already taken at the last real token of each chunk
-        return np.asarray(logits)[:, 0]
+        remaining = [list(p) for p in prompts]
+        out = np.zeros((B, self.cfg.vocab_size), np.float32)
+        while any(remaining):
+            chunk = [p[:self.prefill_chunk] for p in remaining]
+            remaining = [p[self.prefill_chunk:] for p in remaining]
+            lens = np.array([len(p) for p in chunk], np.int32)
+            T = _round_up(max(int(lens.max()), 1), self.prefill_bucket)
+            if int(self._host_lens.max()) + T > self.quest.max_seq_len:
+                raise ValueError(
+                    f"prompt chunk of {T} (bucketed) tokens exceeds "
+                    f"max_seq_len={self.quest.max_seq_len} at current "
+                    f"fill {self._host_lens.max()}")
+            toks = np.zeros((B, T), np.int32)
+            for b, p in enumerate(chunk):
+                toks[b, :len(p)] = np.asarray(p, np.int32)
+            logits, self.cache = self._prefill_fn(
+                self.params, self.cache, jnp.asarray(toks),
+                jnp.asarray(lens))
+            self._host_lens += lens
+            # Keep each row's logits from the chunk holding ITS last
+            # real token (rows finishing early ride later chunks with
+            # lens=0, whose returned row logits are garbage for them).
+            got = np.asarray(logits)[:, 0]
+            out[lens > 0] = got[lens > 0]
+        return out
 
     def _check_decode_room(self, n: int = 1) -> None:
         if int(self._host_lens.max()) + n > self.quest.max_seq_len:

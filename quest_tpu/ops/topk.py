@@ -39,18 +39,25 @@ def _repair_approx(av: jnp.ndarray, ai: jnp.ndarray,
 
     av/ai: [B, H, K] approx values/indices; num_pages: [B]. Any row
     whose returned slots contain -inf below num_valid (a PartialReduce
-    bin collision surfaced a dropped page), or that is short enough for
-    collisions to be likely (num_pages <= 2K), is replaced by its LAST
-    min(K, num_pages) page ids — always in-bounds, duplicate-free,
-    includes the forced last page, and exactly equal to the all-pages
-    (dense) selection when num_pages <= K.
+    bin collision surfaced a dropped — necessarily invalid — page), or
+    with num_pages <= K, is replaced by its LAST min(K, num_pages)
+    page ids — always in-bounds, duplicate-free, includes the forced
+    last page, and exactly equal to the all-pages (dense) selection
+    when num_pages <= K (the only case where the window fires on a
+    healthy row).
     """
     slot = jax.lax.broadcasted_iota(jnp.int32, ai.shape, 2)
     nv = jnp.minimum(jnp.int32(budget_pages), num_pages)
     real = slot < nv[:, None, None]
+    # Soundness is exactly the -inf test: PartialReduce returns
+    # distinct positions, so a junk entry below num_valid can only be
+    # an invalid (-inf-scored) page. Rows with num_pages <= K take the
+    # window unconditionally — there it IS the all-pages (dense)
+    # selection; rows above that keep approx output unless a dropped
+    # page surfaced (rare), preserving score-based selection quality.
     bad = jnp.any(jnp.where(real, av == _NEG_INF, False),
                   axis=-1, keepdims=True)                # [B, H, 1]
-    short = (num_pages <= 2 * budget_pages)[:, None, None]
+    short = (num_pages <= budget_pages)[:, None, None]
     window = (jnp.maximum(num_pages - budget_pages, 0)[:, None, None]
               + slot)                                     # [B, H, K]
     return jnp.where(jnp.logical_or(bad, short), window, ai)

@@ -35,14 +35,26 @@ SWEEP_N = int(os.environ.get("QT_SWEEP_N", "8"))
 SEED = int(os.environ.get("QT_SWEEP_SEED", "20260817"))
 
 PAGES = [4, 8, 16, 32]
-DIMS = [64, 128]
+# On real TPU hardware (QT_SWEEP_TPU=1) the gather DMAs slice the head
+# dim, which Mosaic requires 128-lane aligned ("Slice shape along
+# dimension 5 must be aligned to tiling (128)") — D=64 compiles only
+# in interpret mode. Every supported model family uses D=128; the
+# hardware sweep covers the hardware-legal grid, the CPU sweep keeps
+# D=64 coverage for the reference-parity geometry.
+DIMS = [128] if os.environ.get("QT_SWEEP_TPU") == "1" else [64, 128]
 GROUPS = [1, 2, 4, 8]
 
 
 def _tol(dtype):
-    # bf16 KV: ~3 decimal digits through an online softmax; f32: tight.
-    return dict(rtol=2e-2, atol=2e-2) if dtype == jnp.bfloat16 else \
-        dict(rtol=2e-3, atol=2e-3)
+    # bf16 KV: ~3 decimal digits through an online softmax. f32: tight
+    # on CPU (true f32 matmuls in interpret mode); on the real MXU an
+    # f32 matmul runs as bf16 multi-pass, so a small tail of elements
+    # lands past 2e-3 (measured 0.3% at 2e-3) — widen to 1e-2 there.
+    if dtype == jnp.bfloat16:
+        return dict(rtol=2e-2, atol=2e-2)
+    if os.environ.get("QT_SWEEP_TPU") == "1":
+        return dict(rtol=1e-2, atol=1e-2)
+    return dict(rtol=2e-3, atol=2e-3)
 
 
 def _sparse_cases():
