@@ -38,12 +38,18 @@ step kernel_sweep 3600 env QT_SWEEP_N=64 QT_SWEEP_TPU=1 \
 #    chip: longchat (MHA) at 32 layers holds 537 MB KV per 1K ctx —
 #    32K ctx alone is 17 GB, so the MHA 32-layer row runs at 8K and
 #    the 32-layer 32K row uses llama31 (GQA, KV/4 = 4.3 GB).
+# int8 weights (~9.3 GB) + a bf16 32-layer pool + prefill temps
+# exceed 15.75 G by ~0.9 G even at 4K chunks — the 32-layer rows run
+# the serving KV dtype (fp8), identically for budget and control.
 step e2e32_gqa_32k 2400 python scripts/bench_textgen.py --model llama31-8b \
-  --layers 32 --ctx 32768 --budget 2048 --decode-tokens 32 --quantize 8
+  --layers 32 --ctx 32768 --budget 2048 --decode-tokens 32 --quantize 8 \
+  --prefill-chunk 4096 --kv-dtype fp8
 step e2e32_gqa_32k_full 2400 python scripts/bench_textgen.py --model llama31-8b \
-  --layers 32 --ctx 32768 --budget 32768 --decode-tokens 32 --quantize 8
+  --layers 32 --ctx 32768 --budget 32768 --decode-tokens 32 --quantize 8 \
+  --prefill-chunk 4096 --kv-dtype fp8
 step e2e32_mha_8k 2400 python scripts/bench_textgen.py --model longchat-7b \
-  --layers 32 --ctx 8192 --budget 2048 --decode-tokens 32 --quantize 8
+  --layers 32 --ctx 8192 --budget 2048 --decode-tokens 32 --quantize 8 \
+  --prefill-chunk 4096 --kv-dtype fp8
 step e2e8_128k 2400 python scripts/bench_textgen.py --model llama31-8b \
   --layers 8 --ctx 131072 --budget 2048 --decode-tokens 32 --quantize 8
 step e2e8_128k_full 2400 python scripts/bench_textgen.py --model llama31-8b \
@@ -51,8 +57,9 @@ step e2e8_128k_full 2400 python scripts/bench_textgen.py --model llama31-8b \
 
 # 5. accuracy delta study on chip (VERDICT #2 r1 / #4)
 step accuracy_delta 3000 python scripts/accuracy_delta.py --random \
-  --preset small-tpu --ctx 8192 --eval-tokens 128 --gen-tokens 64 \
-  --budgets 512,1024,2048,4096 --json-out "$LOG/accuracy_delta.json"
+  --preset small-tpu --skip-layers 1 --ctx 8192 --eval-tokens 128 \
+  --gen-tokens 64 --budgets 512,1024,2048,4096 \
+  --json-out "$LOG/accuracy_delta.json"
 
 # 6. fused megakernel drive + tuned-config verification (VERDICT #1)
 step verify_fused 900 python exp/verify_drive.py fused || {

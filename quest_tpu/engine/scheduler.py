@@ -341,15 +341,25 @@ class ContinuousBatchingEngine:
                 while bucket < n:
                     bucket *= 2
                 bucket = min(bucket, self.quest.max_pages)
-                if self.mesh is None:
-                    self.cache = recompute_meta_rows(
-                        self.cache, jnp.int32(b), n_pages=bucket)
-                else:
-                    fn = self._recompute_fns.get(bucket)
-                    if fn is None:
+                fn = self._recompute_fns.get(bucket)
+                if fn is None:
+                    if self.mesh is None:
+                        # Jitted + donated: un-jitted, each of the
+                        # ~15 ops is a separate remote dispatch
+                        # (~1 s/admission through the tunnel — made
+                        # the prefix-cache serving bench 4.8x SLOWER
+                        # than no caching).
+                        import functools
+                        fn = jax.jit(functools.partial(
+                            recompute_meta_rows, n_pages=bucket),
+                            donate_argnums=(0,))
+                    else:
                         from quest_tpu.parallel.tp import make_recompute_fn
                         fn = make_recompute_fn(self.mesh, bucket)
-                        self._recompute_fns[bucket] = fn
+                    self._recompute_fns[bucket] = fn
+                if self.mesh is None:
+                    self.cache = fn(self.cache, jnp.int32(b))
+                else:
                     self.cache = fn(self.cache,
                                     jnp.asarray([b], jnp.int32))
 

@@ -69,6 +69,15 @@ def main():
     ap.add_argument("--json-out", type=str, default=None)
     args = ap.parse_args()
     budgets = [int(b) for b in args.budgets.split(",")]
+    # A skip_layers >= num_layers run never engages sparsity: every
+    # budget trivially matches the control (delta 0.0) and the study
+    # is vacuous. Caught after an on-chip session produced exactly
+    # that with the 2-layer small-tpu preset at the default skip of 2.
+    n_layers = args.layers if args.layers else None
+    if n_layers is not None and args.skip_layers >= n_layers:
+        raise SystemExit(
+            f"skip_layers={args.skip_layers} >= num_layers={n_layers}: "
+            "no layer runs sparse; pass --skip-layers < layers")
 
     args.max_seq_len = max(args.max_seq_len or 0,
                            args.ctx + args.gen_tokens + 64)
@@ -85,6 +94,11 @@ def main():
     for budget in sorted(budgets, reverse=True):  # control first
         args.token_budget = budget
         engine, tok = build_engine(args)
+        if engine.quest.skip_layers >= engine.cfg.num_layers:
+            raise SystemExit(
+                f"skip_layers={engine.quest.skip_layers} >= "
+                f"num_layers={engine.cfg.num_layers}: no layer runs "
+                "sparse; pass --skip-layers < layers")
         if ids is None:
             vocab = engine.cfg.vocab_size
             ids = make_stream(vocab, args.ctx + args.eval_tokens,

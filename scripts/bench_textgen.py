@@ -64,6 +64,10 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="decode through the fused megakernel "
                          "(ops/fused_decode.py)")
+    ap.add_argument("--prefill-chunk", type=int, default=8192,
+                    help="max prompt tokens per prefill call (bounds "
+                    "activation temporaries; 32-layer models at 16K "
+                    "chunks OOM one chip)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke runs)")
     args = ap.parse_args()
@@ -115,7 +119,8 @@ def main():
     else:
         params = init_params(cfg, jax.random.PRNGKey(0))
     engine = QuestEngine(cfg, quest, params, batch_size=args.batch,
-                         prefill_bucket=min(ctx, 2048))
+                         prefill_bucket=min(ctx, 2048),
+                         prefill_chunk=args.prefill_chunk)
 
     rng = np.random.default_rng(0)
     prompt = rng.integers(1, cfg.vocab_size,
