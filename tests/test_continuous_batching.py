@@ -149,6 +149,7 @@ def test_multi_block_request_spans_blocks(setup):
     assert outs[0] == _single_reference(cfg, quest, params, p, 10)
 
 
+@pytest.mark.slow
 def test_chunked_prefill_does_not_stall_decode(setup):
     """A long prompt is admitted in chunks interleaved with decode
     bursts (VERDICT #7 done criterion): the active stream keeps
@@ -247,6 +248,7 @@ def _prefix_quest():
                        skip_layers=1, kv_dtype=jnp.float32, block_pages=4)
 
 
+@pytest.mark.slow
 def test_prefix_cache_reuses_blocks_and_matches(setup):
     """A later request with a known prompt prefix borrows the published
     physical blocks (no re-prefill of the shared region) and generates
@@ -315,6 +317,7 @@ def test_prefix_cache_survives_donor_and_evicts(setup):
     assert total - eng.pools[0].free_pages() == len(ids)
 
 
+@pytest.mark.slow
 def test_prefix_cache_concurrent_mixed_batch(setup):
     """Borrower and fresh requests decode side by side correctly."""
     cfg, _, params = setup

@@ -65,7 +65,8 @@ CFGS = [
     (2, 2, 1, 128, 16, 64, 16, (1790, 311), jnp.bfloat16),
     (1, 1, 8, 128, 8, 128, 24, (1000,), jnp.float32),
     (2, 2, 2, 256, 16, 128, 40, (95, 4081), jnp.bfloat16),  # short row
-    (1, 2, 1, 512, 4, 128, 130, (2001,), jnp.float32),   # K > 128 slots
+    pytest.param(1, 2, 1, 512, 4, 128, 130, (2001,), jnp.float32,
+                 marks=pytest.mark.slow),  # K > 128 slots (622 s interp)
 ]
 
 
@@ -226,6 +227,7 @@ def test_sharded_fused_matches_single_device():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sg", [2, 4])
 def test_select_group_batched_matches_sg1(sg):
     """Group-batched selection (radix shared across SG heads) must be

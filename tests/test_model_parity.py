@@ -177,6 +177,7 @@ def test_mistral_full_budget_matches_hf():
         prev = dec_logits[0]
 
 
+@pytest.mark.slow
 def test_selection_knob_changes_selection():
     """`QuestConfig.selection="per_q_head"` must actually change what the
     engine computes (reference semantics: per-QUERY-head top-k,

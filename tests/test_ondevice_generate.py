@@ -2,6 +2,7 @@
 exactly the same tokens as the per-step host loop."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -11,6 +12,7 @@ from quest_tpu.engine import QuestEngine
 from quest_tpu.models.llama import init_params
 
 
+@pytest.mark.slow
 def test_ondevice_matches_host_loop():
     cfg = ModelConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
                       num_layers=2, num_heads=4, num_kv_heads=2,

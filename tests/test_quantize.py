@@ -71,6 +71,7 @@ def test_quantized_model_generates_close_to_full(bits):
     assert len(out[0]) == 4
 
 
+@pytest.mark.slow
 def test_awq_beats_rtn_and_folded_path_is_exact():
     """AWQ property test (models/awq.py): activation-aware scaling must
     not lose to plain RTN at int4 on held-out activations (per linear,
