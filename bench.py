@@ -195,6 +195,23 @@ def run_stage(stage: str, ctx: int):
     else:
         raise SystemExit(f"unknown stage {stage}")
 
+    if stage != "dense":
+        # A/B the dense baseline INSIDE this process, on this process's
+        # cache: speedups computed from one process's pair are immune to
+        # the ±25% run-to-run variance of the remote-dispatch tunnel
+        # (measured r3: the same 131 us pipeline read 159 us in another
+        # process — a 4.26x-vs-5.55x swing in the recorded headline).
+        log(f"{stage}: timing in-process dense baseline")
+        t = bench_op(
+            lambda q, env: fb(q, dense_decode_attention(q, env, seq,
+                                                        sm_scale=sm)),
+            q, iters=iters, reps=reps, env=layer.kv_pages)
+        out["dense_us"] = t * 1e6
+
+    # Also log the result to stderr: children's stdout rides a pipe the
+    # parent may not live to read (outer wall-clock kills), while stderr
+    # appends straight to the session log — per-stage numbers survive.
+    log(f"result {json.dumps(out)}")
     return out
 
 
@@ -265,22 +282,37 @@ def main():
             "unfused_us": ru.get("unfused_us")}))
         return
 
-    CTX = 32768
-    r = {}
-    # Known-good stages first; the megakernel (hang-risk) last, so a
-    # wedged worker cannot cost the baseline numbers.
-    r.update(spawn("dense", CTX))
-    r.update(spawn("unfused", CTX))
-    r.update(spawn("unfused_serving", CTX))
-    r.update(spawn("fused", CTX))
-    r.update(spawn("fused_fp8", CTX))
+    # Each stage child times its sparse pipeline AND the dense baseline
+    # in the SAME process on the same cache; every speedup below is a
+    # same-process A/B ratio (the tunnel's ±25% cross-process variance
+    # cancels in the ratio but NOT across children — r2/r3 recorded a
+    # 4.26x-vs-5.55x swing for an unchanged kernel before this change).
+    EXACT = (("unfused", "unfused_us"), ("fused", "fused_us"))
+    SERVING = (("unfused_serving", "approx_fp8_us"),
+               ("fused_fp8", "fused_fp8_us"))
 
-    t_dense = r.get("dense_us", float("inf"))
-    t_sparse = min(r.get("unfused_us", float("inf")),
-                   r.get("fused_us", float("inf")))
-    t_serving = min(r.get("approx_fp8_us", float("inf")),
-                    r.get("fused_fp8_us", float("inf")))
-    speedup = t_dense / t_sparse
+    def measure(ctx):
+        # Known-good stages first; the megakernel (hang-risk) last, so
+        # a wedged worker cannot cost the baseline numbers.
+        per = {st: spawn(st, ctx)
+               for st in ("unfused", "unfused_serving", "fused",
+                          "fused_fp8")}
+
+        def best(pairs):
+            # (ratio, sparse_us, dense_us, stage) of the best pipeline,
+            # each ratio from one process's own dense/sparse pair.
+            cands = [(o["dense_us"] / o[k], o[k], o["dense_us"], st)
+                     for st, k in pairs
+                     for o in [per.get(st, {})]
+                     if o.get(k) and o.get("dense_us")]
+            return max(cands) if cands else None
+        return per, best(EXACT), best(SERVING)
+
+    CTX = 32768
+    per32, ex32, sv32 = measure(CTX)
+    if ex32 is None:
+        raise SystemExit("no 32K exact stage produced a dense/sparse pair")
+    speedup, t_sparse, t_dense, ex_stage = ex32
 
     # Bytes-moved accounting (NVBench analogue,
     # `bench_batch_decode.cu:82-86`).
@@ -291,50 +323,47 @@ def main():
                     + 2 * Hkv * (CTX // page) * D * bpe)  # metadata
     log(f"dense:  {t_dense:8.1f} us  "
         f"({dense_bytes/t_dense/1e3:.0f} GB/s)")
-    log(f"sparse: {t_sparse:8.1f} us  "
+    log(f"sparse: {t_sparse:8.1f} us  [{ex_stage}]  "
         f"({sparse_bytes/t_sparse/1e3:.0f} GB/s)")
     log(f"speedup: {speedup:.2f}x (reference headline: 7.03x)")
-    log(f"serving config: {t_serving:.1f} us "
-        f"({t_dense/t_serving:.2f}x)")
+    if sv32:
+        log(f"serving config: {sv32[1]:.1f} us ({sv32[0]:.2f}x)")
 
     result = {
         "metric": "self_attention_speedup_32k_budget2048",
         "value": round(speedup, 3),
         "unit": "x",
         "vs_baseline": round(speedup / 7.03, 3),
-        "speedup_32k_serving_cfg": round(t_dense / t_serving, 3),
         "dense_us_32k": round(t_dense, 1),
         "sparse_us_32k": round(t_sparse, 1),
     }
-    # Raw per-stage numbers (auditable: which pipeline won each point).
-    for k, v in r.items():
-        if k != "dense_us":
-            result[k.replace("_us", "_us_32k")] = round(v, 1)
+    if sv32:
+        result["speedup_32k_serving_cfg"] = round(sv32[0], 3)
+
+    def record(per, suffix):
+        # Raw per-stage numbers (auditable: which pipeline won each
+        # point, and each stage's own in-process dense baseline).
+        for st, o in per.items():
+            for k, v in o.items():
+                key = (f"dense_{st}_us" if k == "dense_us" else k)
+                result[f"{key[:-3]}_us_{suffix}"] = round(v, 1)
+
+    record(per32, "32k")
 
     # Long-context point (the reference's bench axes reach 131072;
-    # its published headline is the 32K point above).
-    r128 = {}
-    r128.update(spawn("dense", 131072))
-    r128.update(spawn("unfused", 131072))
-    # Always measure fused at 128K: its overlap advantage GROWS with
-    # context (the metadata stream is 4x longer), so a narrow 32K loss
-    # must not hide the point where fusion matters most (r2 VERDICT).
-    r128.update(spawn("fused", 131072))
-    r128.update(spawn("unfused_serving", 131072))
-    r128.update(spawn("fused_fp8", 131072))
-    td = r128.get("dense_us")
-    ts = min(r128.get("unfused_us", float("inf")),
-             r128.get("fused_us", float("inf")))
-    tf = min(r128.get("approx_fp8_us", float("inf")),
-             r128.get("fused_fp8_us", float("inf")))
-    if td and ts < float("inf"):
-        log(f"128K: dense {td:.0f} us, sparse {ts:.0f} us, "
-            f"speedup {td/ts:.2f}x (serving cfg {td/tf:.2f}x)")
-        result["speedup_128k_budget2048"] = round(td / ts, 3)
-        result["speedup_128k_serving_cfg"] = round(td / tf, 3)
-        for k, v in r128.items():
-            if k != "dense_us":
-                result[k.replace("_us", "_us_128k")] = round(v, 1)
+    # its published headline is the 32K point above). Fused is always
+    # measured here: its overlap advantage GROWS with context (the
+    # metadata stream is 4x longer), so a narrow 32K loss must not
+    # hide the point where fusion matters most (r2 VERDICT).
+    per128, ex128, sv128 = measure(131072)
+    if ex128:
+        log(f"128K: dense {ex128[2]:.0f} us, sparse {ex128[1]:.0f} us "
+            f"[{ex128[3]}], speedup {ex128[0]:.2f}x"
+            + (f" (serving cfg {sv128[0]:.2f}x)" if sv128 else ""))
+        result["speedup_128k_budget2048"] = round(ex128[0], 3)
+        if sv128:
+            result["speedup_128k_serving_cfg"] = round(sv128[0], 3)
+        record(per128, "128k")
 
     print(json.dumps(result))
 

@@ -89,6 +89,14 @@ def main():
             ("einsum", 64, 8, 4),
             ("pallas", 128, 6, 1),
             ("pallas", 64, 8, 1)]
+    # Override, e.g. QT_GRID="einsum:64:6:1,einsum:128:3:1" — repeats
+    # allowed (re-measuring a config in one process separates a real
+    # sweet spot from a timing fluke).
+    if _os.environ.get("QT_GRID"):
+        grid = [(e, int(p), int(n), int(s))
+                for e, p, n, s in (c.split(":")
+                                   for c in _os.environ["QT_GRID"]
+                                   .split(","))]
     for est, ppb, nslot, nsem in grid:
         try:
             t = bench_op(pipe(est, ppb, nslot, nsem), q, iters=iters,

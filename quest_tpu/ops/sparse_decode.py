@@ -193,7 +193,7 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
 def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             seq_lens, *, sm_scale: float,
                             pages_per_block: int = 128,
-                            num_slots: int = 4,
+                            num_slots: int = 3,
                             interpret: bool | None = None,
                             layer: int | None = None,
                             per_q_head: bool = False,
@@ -218,9 +218,15 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
       sm_scale: softmax scale (1/sqrt(D)).
       pages_per_block / num_slots: gather granularity and VMEM slot
         ring depth (num_slots-1 blocks stay in flight). Defaults are
-        the measured 32K/2048 optimum on v5e (exp/unfused_tune.py:
-        128/4 -> 131 us full pipeline vs 135 at 3 slots; deeper rings
-        REGRESS — 183 us at 6 — as do smaller blocks).
+        the measured 32K/2048 optimum on v5e (exp/unfused_tune.py,
+        in-process repeats, exp/r3_chip/unfused_tune32k*.log: 128/3
+        -> 131-150 us full pipeline vs 153 at 4 slots; deeper rings
+        REGRESS — 163 us at 6 — as do smaller blocks, 165-221 us).
+      num_sems: semaphores per slot (contiguous page stripes). Measured
+        a dead end on v5e — distinct semaphores do NOT unlock extra
+        DMA-queue parallelism (128/6: 163 us at nsem=1 vs 148 at
+        nsem=4, both behind 128/3/nsem=1; 64/6: 170 us at nsem=1,
+        170 at nsem=2) — kept for probe reproducibility.
 
     Returns: [B, Hq, D] f32 attention output.
     """
