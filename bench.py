@@ -164,11 +164,17 @@ def run_stage(stage: str, ctx: int):
         out["unfused_us"] = t * 1e6
 
     elif stage == "unfused_serving":
-        # Long-context serving config: approx top-k + fp8 e4m3
-        # metadata (halves the estimate's HBM traffic).
-        t = bench_op(make_sparse_step("approx"), q, iters=iters,
+        # Serving config: fp8 e4m3 metadata (halves the estimate's
+        # HBM traffic) + the fastest sound selection for the pool
+        # size — verified-exact approx_max_k where its certificate is
+        # reliable (P <= 16*S, i.e. 32K), approx+per-row-repair beyond
+        # (128K), mirroring ops/topk.py's static rule. Measured at 32K
+        # (exp/serving_probe.py): exact_fast+fp8 132 us vs approx+fp8
+        # 151 us — the exact path is both sounder AND faster there.
+        method = ("exact_fast" if (ctx // page) <= 16 * S else "approx")
+        t = bench_op(make_sparse_step(method), q, iters=iters,
                      reps=reps, env=sparse_env(f8))
-        out["approx_fp8_us"] = t * 1e6
+        out["serving_fp8_us"] = t * 1e6
 
     elif stage == "fused":
         # The fused decode megakernel (ops/fused_decode.py): estimate
@@ -288,7 +294,7 @@ def main():
     # cancels in the ratio but NOT across children — r2/r3 recorded a
     # 4.26x-vs-5.55x swing for an unchanged kernel before this change).
     EXACT = (("unfused", "unfused_us"), ("fused", "fused_us"))
-    SERVING = (("unfused_serving", "approx_fp8_us"),
+    SERVING = (("unfused_serving", "serving_fp8_us"),
                ("fused_fp8", "fused_fp8_us"))
 
     def measure(ctx):
