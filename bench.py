@@ -11,13 +11,25 @@ Measures, on one real TPU chip with bf16 KV cache:
            decode-attention pipeline, jitted as one function)
 and reports speedup = t_dense / t_sparse.
 
-Process structure: the parent never touches JAX. Each measurement
-stage runs in its OWN child process under its own wall-clock cap
-(``python bench.py --stage NAME``), so a Mosaic hang or compile
-blow-up in one stage (the fused megakernel is the risk point — a
-killed Pallas launch can wedge the remote TPU worker for ~30 min)
-costs that stage only; the driver still records the rest. Stages
-print one JSON line on stdout; diagnostics go to stderr.
+Crash-proof protocol (round-4 redesign; r3's driver record was lost to
+an outer wall-clock kill during a late stage):
+  * The parent never touches JAX. Each measurement child runs under its
+    own wall cap; a Mosaic hang in one child (the fused megakernel is
+    the risk point) costs that child only.
+  * Children emit ONE FLUSHED JSON LINE PER MEASUREMENT; the parent
+    streams stdout live and re-prints the cumulative headline JSON
+    after every update — the last JSON line on stdout is always the
+    best-so-far result, so an outer kill at ANY point keeps everything
+    measured up to it.
+  * dense + exact + serving share ONE child (one cache fill, and every
+    speedup is a same-process A/B pair — the remote-dispatch tunnel has
+    ±25% cross-process variance that cancels only within a process).
+  * Handoff stalls (measured r3: a child's FIRST device op can block
+    100-600+ s while the tunnel tears down the previous child) are
+    absorbed by a cheap tunnel probe between children, so stall time is
+    not charged against a measurement child's cap.
+  * A global deadline (QUEST_BENCH_DEADLINE, default 1500 s) skips
+    remaining children and exits cleanly before the driver's own cap.
 """
 
 from __future__ import annotations
@@ -26,9 +38,11 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 T0 = time.time()
+DEADLINE = float(os.environ.get("QUEST_BENCH_DEADLINE", "1500"))
 
 
 def log(*a):
@@ -36,13 +50,27 @@ def log(*a):
           flush=True)
 
 
+def remaining() -> float:
+    return DEADLINE - (time.time() - T0)
+
+
 # --------------------------------------------------------------------
-# Child: one measurement stage
+# Child: one measurement stage (emits one JSON line per measurement)
 # --------------------------------------------------------------------
 
-def run_stage(stage: str, ctx: int):
+def emit(out: dict):
+    print(json.dumps(out), flush=True)
+    log(f"result {json.dumps(out)}")
+
+
+def run_stage(stage: str, ctx: int, page: int):
     import numpy as np
     import jax
+
+    if os.environ.get("QUEST_BENCH_CPU") == "1":
+        # The axon plugin overrides JAX_PLATFORMS at import time; a CPU
+        # smoke run (also used by tests) must force the backend here.
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent compile cache: compiles through the remote-compile
     # tunnel run minutes-long; the cache amortizes them across the
@@ -65,13 +93,14 @@ def run_stage(stage: str, ctx: int):
     from quest_tpu.ops.estimate import page_scores
     from quest_tpu.ops.fused_decode import fused_sparse_decode
     from quest_tpu.ops.sparse_decode import sparse_decode_attention
-    from quest_tpu.ops.topk import select_pages
+    from quest_tpu.ops.topk import select_pages, serving_method
     from quest_tpu.utils.benchmarking import bench_op
 
     on_tpu = jax.default_backend() == "tpu"
-    log(f"stage={stage} ctx={ctx} backend={jax.default_backend()}")
+    log(f"stage={stage} ctx={ctx} page={page} "
+        f"backend={jax.default_backend()}")
 
-    B, Hq, Hkv, D, page = 1, 32, 32, 128, 16
+    B, Hq, Hkv, D = 1, 32, 32, 128
     BUDGET = 2048 if on_tpu else 256
     model = ModelConfig(num_heads=Hq, num_kv_heads=Hkv, head_dim=D)
     quest = QuestConfig(page_size=page, token_budget=BUDGET,
@@ -105,8 +134,7 @@ def run_stage(stage: str, ctx: int):
     for off in range(0, ctx, CH):
         key, sub = jax.random.split(key)
         layer = fill(layer, sub, jnp.int32(off))
-        np.asarray(layer.seq_lens)  # forced fetch: chunk really done
-        log(f"fill @{off + CH}")
+    np.asarray(layer.seq_lens)  # forced fetch: fill chain really done
     log("cache filled")
     seq = jnp.asarray([ctx], jnp.int32)
     q = jnp.asarray(
@@ -120,7 +148,6 @@ def run_stage(stage: str, ctx: int):
         return (x + dep.astype(x.dtype)).astype(x.dtype)
 
     f8 = jnp.float8_e4m3fn
-    out = {}
 
     def sparse_env(meta_dtype=None):
         km, kn = layer.k_max, layer.k_min
@@ -139,6 +166,9 @@ def run_stage(stage: str, ctx: int):
                                                  sm_scale=sm))
         return sparse_step
 
+    def dense_step(q, env):
+        return fb(q, dense_decode_attention(q, env, seq, sm_scale=sm))
+
     def fused_step(q, env):
         kv_pages, kmax, kmin = env
         return fb(q, fused_sparse_decode(
@@ -147,120 +177,129 @@ def run_stage(stage: str, ctx: int):
             block_p=quest.fused_block_p,
             gather_slots=quest.fused_gather_slots))
 
-    if stage == "dense":
-        t = bench_op(
-            lambda q, env: fb(q, dense_decode_attention(q, env, seq,
-                                                        sm_scale=sm)),
-            q, iters=iters, reps=reps, env=layer.kv_pages)
-        out["dense_us"] = t * 1e6
-
-    elif stage == "unfused":
-        # Exact pipeline (estimate + select_pages + sparse decode as
-        # separate calls). "exact_fast" is verified-exact: approx_max_k
-        # + an exactness certificate with a lax.cond fallback to the
-        # full sort — same selected set as lax.top_k (ops/topk.py).
+    if stage == "main":
+        # Exact pipeline first (the headline), then the serving config,
+        # then the dense baseline — each emitted the moment it lands.
+        # "exact_fast" is verified-exact: approx_max_k + an exactness
+        # certificate with a lax.cond fallback to the full sort — same
+        # selected set as lax.top_k (ops/topk.py).
         t = bench_op(make_sparse_step("exact_fast"), q, iters=iters,
                      reps=reps, env=sparse_env())
-        out["unfused_us"] = t * 1e6
-
-    elif stage == "unfused_serving":
-        # Serving config: fp8 e4m3 metadata (halves the estimate's
-        # HBM traffic) + the fastest sound selection for the pool
-        # size — verified-exact approx_max_k where its certificate is
-        # reliable (P <= 16*S, i.e. 32K), approx+per-row-repair beyond
-        # (128K), mirroring ops/topk.py's static rule. Measured at 32K
-        # (exp/serving_probe.py): exact_fast+fp8 132 us vs approx+fp8
-        # 151 us — the exact path is both sounder AND faster there.
-        method = ("exact_fast" if (ctx // page) <= 16 * S else "approx")
-        t = bench_op(make_sparse_step(method), q, iters=iters,
-                     reps=reps, env=sparse_env(f8))
-        out["serving_fp8_us"] = t * 1e6
+        emit({"unfused_us": t * 1e6})
+        t = bench_op(dense_step, q, iters=iters, reps=reps,
+                     env=layer.kv_pages)
+        emit({"dense_us": t * 1e6})
+        # Serving config: fp8 e4m3 metadata (halves the estimate's HBM
+        # traffic) + the fastest sound selection for the pool size —
+        # the SAME static rule ops/topk.py applies (serving_method):
+        # verified-exact where the certificate is reliable, approx +
+        # per-row repair beyond. Measured at 32K (exp/serving_probe.py):
+        # exact_fast+fp8 is both sounder AND faster than approx+fp8.
+        t = bench_op(make_sparse_step(serving_method(quest.max_pages, S)),
+                     q, iters=iters, reps=reps, env=sparse_env(f8))
+        emit({"serving_fp8_us": t * 1e6})
 
     elif stage == "fused":
         # The fused decode megakernel (ops/fused_decode.py): estimate
         # -> EXACT in-kernel top-k -> gather -> flash decode in one
-        # Pallas call, bf16 metadata. Same semantics as the unfused
-        # exact pipeline (tests/test_fused_decode.py).
+        # Pallas call. Same semantics as the unfused exact pipeline
+        # (tests/test_fused_decode.py). Hang-risk stage: runs last,
+        # with its own in-process dense baseline.
         log("fused: first compile+run...")
         r = jax.jit(fused_step)(q, sparse_env())
         np.asarray(r)  # host fetch: block_until_ready does not wait
         log("fused: first call ok; timing")
         t = bench_op(fused_step, q, iters=iters, reps=reps,
                      env=sparse_env())
-        out["fused_us"] = t * 1e6
-
-    elif stage == "fused_fp8":
+        emit({"fused_us": t * 1e6})
+        t = bench_op(dense_step, q, iters=iters, reps=reps,
+                     env=layer.kv_pages)
+        emit({"dense_us": t * 1e6})
         log("fused_fp8: first compile+run...")
         r = jax.jit(fused_step)(q, sparse_env(f8))
-        np.asarray(r)  # host fetch: block_until_ready does not wait
+        np.asarray(r)
         log("fused_fp8: first call ok; timing")
         t = bench_op(fused_step, q, iters=iters, reps=reps,
                      env=sparse_env(f8))
-        out["fused_fp8_us"] = t * 1e6
+        emit({"fused_fp8_us": t * 1e6})
 
     else:
         raise SystemExit(f"unknown stage {stage}")
 
-    if stage != "dense":
-        # A/B the dense baseline INSIDE this process, on this process's
-        # cache: speedups computed from one process's pair are immune to
-        # the ±25% run-to-run variance of the remote-dispatch tunnel
-        # (measured r3: the same 131 us pipeline read 159 us in another
-        # process — a 4.26x-vs-5.55x swing in the recorded headline).
-        log(f"{stage}: timing in-process dense baseline")
-        t = bench_op(
-            lambda q, env: fb(q, dense_decode_attention(q, env, seq,
-                                                        sm_scale=sm)),
-            q, iters=iters, reps=reps, env=layer.kv_pages)
-        out["dense_us"] = t * 1e6
-
-    # Also log the result to stderr: children's stdout rides a pipe the
-    # parent may not live to read (outer wall-clock kills), while stderr
-    # appends straight to the session log — per-stage numbers survive.
-    log(f"result {json.dumps(out)}")
-    return out
+    # Drop the ~0.5-1 GB pool explicitly so the child's teardown (and
+    # the next child's tunnel handshake) has less to clean up.
+    for arr in (layer.kv_pages, layer.k_max, layer.k_min):
+        arr.delete()
+    log("buffers deleted; stage done")
 
 
 # --------------------------------------------------------------------
-# Parent: orchestrate stages, each in its own process + timeout
+# Parent: orchestrate stages, stream children's incremental results
 # --------------------------------------------------------------------
 
-def stage_cap(name: str) -> int:
-    # Wall caps per child (fill + compile + slope timing). The fused
-    # megakernel gets the largest cap: its Mosaic compile alone has
-    # been observed north of 5 min.
-    return {"dense": 1200, "unfused": 1200, "unfused_serving": 1200,
-            "fused": 1500, "fused_fp8": 1500}[name]
-
-
-def spawn(stage: str, ctx: int):
+def spawn_streaming(stage: str, ctx: int, page: int, cap: float,
+                    on_update):
+    """Run a stage child; parse every JSON stdout line as it arrives
+    (calling ``on_update(key_suffixed_dict)``), kill at ``cap``.
+    Returns True if the child exited cleanly."""
+    cap = max(60.0, min(cap, remaining()))
     cmd = [sys.executable, os.path.abspath(__file__),
-           "--stage", stage, "--ctx", str(ctx)]
+           "--stage", stage, "--ctx", str(ctx), "--page", str(page)]
+    p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+
+    def reader():
+        for raw in p.stdout:
+            line = raw.decode().strip()
+            if line.startswith("{"):
+                try:
+                    on_update(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
     try:
-        p = subprocess.run(cmd, stdout=subprocess.PIPE,
-                           stderr=sys.stderr,
-                           timeout=stage_cap(stage),
-                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        p.wait(timeout=cap)
     except subprocess.TimeoutExpired:
-        log(f"stage {stage}@{ctx}: TIMEOUT (wedged worker needs ~30 min"
-            " to recover; subsequent stages may fail)")
-        return {}
-    if p.returncode != 0:
-        log(f"stage {stage}@{ctx}: rc={p.returncode}")
-        return {}
-    for line in p.stdout.decode().splitlines()[::-1]:
-        line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    return {}
+        log(f"stage {stage}@{ctx}/p{page}: cap {cap:.0f}s hit, killing "
+            "(results already streamed are kept)")
+        p.kill()
+        p.wait()
+    th.join(timeout=10)
+    if p.returncode not in (0, None):
+        log(f"stage {stage}@{ctx}/p{page}: rc={p.returncode}")
+    return p.returncode == 0
+
+
+def probe_tunnel(max_wait: float) -> bool:
+    """Wait until the axon tunnel answers a trivial device op — the
+    previous child's teardown can block the next client for minutes
+    (measured 100-600+ s in r3). Probe children are cheap to kill."""
+    t0 = time.time()
+    code = ("import jax, numpy as np;"
+            "import jax.numpy as jnp;"
+            "print(np.asarray(jnp.arange(8) + 1)[0])")
+    while time.time() - t0 < max_wait and remaining() > 120:
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               stdout=subprocess.DEVNULL,
+                               stderr=subprocess.DEVNULL, timeout=120)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"tunnel probe not ready after {time.time()-t0:.0f}s; "
+            "retrying")
+    return False
 
 
 def main():
     if "--stage" in sys.argv:
-        i = sys.argv.index("--stage")
-        stage = sys.argv[i + 1]
-        ctx = int(sys.argv[sys.argv.index("--ctx") + 1])
-        print(json.dumps(run_stage(stage, ctx)), flush=True)
+        argv = sys.argv
+        run_stage(argv[argv.index("--stage") + 1],
+                  int(argv[argv.index("--ctx") + 1]),
+                  int(argv[argv.index("--page") + 1]))
         return
 
     # Probe the backend in a subprocess: the parent must never hold
@@ -274,103 +313,118 @@ def main():
         probe = p.stdout.decode().strip()
     except subprocess.TimeoutExpired:
         probe = ""
-    on_tpu = probe.startswith("tpu")
+    on_tpu = (probe.startswith("tpu")
+              and os.environ.get("QUEST_BENCH_CPU") != "1")
     log(f"backend probe: {probe or 'TIMEOUT'}")
 
     if not on_tpu:  # CPU smoke: one in-process pass, tiny shapes
-        rd = run_stage("dense", 2048)
-        ru = run_stage("unfused", 2048)
+        acc = {}
+        spawn_streaming("main", 2048, 16, 600, acc.update)
         print(json.dumps({
             "metric": "self_attention_speedup_32k_budget2048",
             "value": 0.0, "unit": "x", "vs_baseline": 0.0,
             "note": "cpu smoke only",
-            "dense_us": rd.get("dense_us"),
-            "unfused_us": ru.get("unfused_us")}))
+            "dense_us": acc.get("dense_us"),
+            "unfused_us": acc.get("unfused_us")}))
         return
 
-    # Each stage child times its sparse pipeline AND the dense baseline
-    # in the SAME process on the same cache; every speedup below is a
-    # same-process A/B ratio (the tunnel's ±25% cross-process variance
-    # cancels in the ratio but NOT across children — r2/r3 recorded a
-    # 4.26x-vs-5.55x swing for an unchanged kernel before this change).
-    EXACT = (("unfused", "unfused_us"), ("fused", "fused_us"))
-    SERVING = (("unfused_serving", "serving_fp8_us"),
-               ("fused_fp8", "fused_fp8_us"))
+    # Accumulated per-(stage, ctx, page) raw numbers. Keys are suffixed
+    # e.g. unfused_us_32k, dense_main_us_128k, serving_fp8_us_32k_p32.
+    raw: dict[str, float] = {}
 
-    def measure(ctx):
-        # Known-good stages first; the megakernel (hang-risk) last, so
-        # a wedged worker cannot cost the baseline numbers.
-        per = {st: spawn(st, ctx)
-               for st in ("unfused", "unfused_serving", "fused",
-                          "fused_fp8")}
+    def headline() -> dict:
+        # Same-child A/B ratios only: each pipeline's speedup uses the
+        # dense baseline measured in ITS OWN child process.
+        def ratio(num_key, den_key):
+            if raw.get(num_key) and raw.get(den_key):
+                return raw[num_key] / raw[den_key]
+            return None
 
-        def best(pairs):
-            # (ratio, sparse_us, dense_us, stage) of the best pipeline,
-            # each ratio from one process's own dense/sparse pair.
-            cands = [(o["dense_us"] / o[k], o[k], o["dense_us"], st)
-                     for st, k in pairs
-                     for o in [per.get(st, {})]
-                     if o.get(k) and o.get("dense_us")]
-            return max(cands) if cands else None
-        return per, best(EXACT), best(SERVING)
+        result = {"metric": "self_attention_speedup_32k_budget2048",
+                  "value": 0.0, "unit": "x", "vs_baseline": 0.0}
+        # Exact-semantics candidates at 32K (protocol page 16).
+        cands = [(r, raw[k], raw[d]) for k, d in
+                 (("unfused_us_32k", "dense_main_us_32k"),
+                  ("fused_us_32k", "dense_fused_us_32k"))
+                 for r in [ratio(d, k)] if r]
+        if cands:
+            sp, t_sparse, t_dense = max(cands)
+            result.update(value=round(sp, 3),
+                          vs_baseline=round(sp / 7.03, 3),
+                          dense_us_32k=round(t_dense, 1),
+                          sparse_us_32k=round(t_sparse, 1))
+        sv = ratio("dense_main_us_32k", "serving_fp8_us_32k")
+        if sv:
+            result["speedup_32k_serving_cfg"] = round(sv, 3)
+        ex128 = [r for k, d in (("unfused_us_128k", "dense_main_us_128k"),
+                                ("fused_us_128k", "dense_fused_us_128k"))
+                 for r in [ratio(d, k)] if r]
+        if ex128:
+            result["speedup_128k_budget2048"] = round(max(ex128), 3)
+        sv128 = ratio("dense_main_us_128k", "serving_fp8_us_128k")
+        if sv128:
+            result["speedup_128k_serving_cfg"] = round(sv128, 3)
+        for k, v in sorted(raw.items()):
+            result[k] = round(v, 1)
+        return result
 
-    CTX = 32768
-    per32, ex32, sv32 = measure(CTX)
-    if ex32 is None:
-        raise SystemExit("no 32K exact stage produced a dense/sparse pair")
-    speedup, t_sparse, t_dense, ex_stage = ex32
+    def on_update_for(stage, suffix):
+        def on_update(d):
+            for k, v in d.items():
+                key = f"dense_{stage}_us" if k == "dense_us" else k
+                raw[f"{key}_{suffix}"] = v
+            # Re-print the cumulative result: the LAST JSON line on
+            # stdout is always the best-so-far record.
+            print(json.dumps(headline()), flush=True)
+        return on_update
 
+    def suffix_of(ctx, page):
+        s = "32k" if ctx == 32768 else "128k"
+        return s if page == 16 else f"{s}_p{page}"
+
+    # Schedule: headline children first, hang-risk (fused) children
+    # last; within the deadline, later children only add detail.
+    SCHEDULE = [
+        ("main", 32768, 16, 780),
+        ("main", 131072, 16, 780),
+        ("fused", 32768, 16, 900),
+        ("fused", 131072, 16, 900),
+    ]
+    done_first = False
+    for stage, ctx, page, cap in SCHEDULE:
+        if remaining() < 240:
+            log(f"deadline: skipping {stage}@{ctx} "
+                f"({remaining():.0f}s left)")
+            continue
+        if done_first:
+            probe_tunnel(max_wait=min(600, remaining() - 180))
+        suffix = suffix_of(ctx, page)
+        spawn_streaming(stage, ctx, page, cap,
+                        on_update_for(stage, suffix))
+        done_first = True
+        # The 32K headline child is the round's record: if it produced
+        # nothing (handoff stall ate its cap), retry once.
+        if (stage, ctx) == ("main", 32768) and \
+                "unfused_us_32k" not in raw and remaining() > 600:
+            log("32K main child produced nothing; retrying once")
+            probe_tunnel(max_wait=min(600, remaining() - 300))
+            spawn_streaming(stage, ctx, page, cap,
+                            on_update_for(stage, suffix))
+
+    result = headline()
     # Bytes-moved accounting (NVBench analogue,
     # `bench_batch_decode.cu:82-86`).
-    bpe = 2  # bf16
-    BUDGET, page, Hkv, D = 2048, 16, 32, 128
-    dense_bytes = 2 * Hkv * CTX * D * bpe
-    sparse_bytes = (2 * Hkv * BUDGET * D * bpe            # selected pages
-                    + 2 * Hkv * (CTX // page) * D * bpe)  # metadata
-    log(f"dense:  {t_dense:8.1f} us  "
-        f"({dense_bytes/t_dense/1e3:.0f} GB/s)")
-    log(f"sparse: {t_sparse:8.1f} us  [{ex_stage}]  "
-        f"({sparse_bytes/t_sparse/1e3:.0f} GB/s)")
-    log(f"speedup: {speedup:.2f}x (reference headline: 7.03x)")
-    if sv32:
-        log(f"serving config: {sv32[1]:.1f} us ({sv32[0]:.2f}x)")
-
-    result = {
-        "metric": "self_attention_speedup_32k_budget2048",
-        "value": round(speedup, 3),
-        "unit": "x",
-        "vs_baseline": round(speedup / 7.03, 3),
-        "dense_us_32k": round(t_dense, 1),
-        "sparse_us_32k": round(t_sparse, 1),
-    }
-    if sv32:
-        result["speedup_32k_serving_cfg"] = round(sv32[0], 3)
-
-    def record(per, suffix):
-        # Raw per-stage numbers (auditable: which pipeline won each
-        # point, and each stage's own in-process dense baseline).
-        for st, o in per.items():
-            for k, v in o.items():
-                key = (f"dense_{st}_us" if k == "dense_us" else k)
-                result[f"{key[:-3]}_us_{suffix}"] = round(v, 1)
-
-    record(per32, "32k")
-
-    # Long-context point (the reference's bench axes reach 131072;
-    # its published headline is the 32K point above). Fused is always
-    # measured here: its overlap advantage GROWS with context (the
-    # metadata stream is 4x longer), so a narrow 32K loss must not
-    # hide the point where fusion matters most (r2 VERDICT).
-    per128, ex128, sv128 = measure(131072)
-    if ex128:
-        log(f"128K: dense {ex128[2]:.0f} us, sparse {ex128[1]:.0f} us "
-            f"[{ex128[3]}], speedup {ex128[0]:.2f}x"
-            + (f" (serving cfg {sv128[0]:.2f}x)" if sv128 else ""))
-        result["speedup_128k_budget2048"] = round(ex128[0], 3)
-        if sv128:
-            result["speedup_128k_serving_cfg"] = round(sv128[0], 3)
-        record(per128, "128k")
-
+    if result.get("sparse_us_32k"):
+        bpe, CTX, BUDGET, page, Hkv, D = 2, 32768, 2048, 16, 32, 128
+        dense_bytes = 2 * Hkv * CTX * D * bpe
+        sparse_bytes = (2 * Hkv * BUDGET * D * bpe          # selected
+                        + 2 * Hkv * (CTX // page) * D * bpe)  # metadata
+        log(f"dense:  {result['dense_us_32k']:8.1f} us  "
+            f"({dense_bytes/result['dense_us_32k']/1e3:.0f} GB/s)")
+        log(f"sparse: {result['sparse_us_32k']:8.1f} us  "
+            f"({sparse_bytes/result['sparse_us_32k']/1e3:.0f} GB/s)")
+        log(f"speedup: {result['value']:.2f}x "
+            "(reference headline: 7.03x)")
     print(json.dumps(result))
 
 

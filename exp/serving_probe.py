@@ -108,7 +108,14 @@ def main():
     np.asarray(scores0)
     for method in ("exact_fast", "approx", "exact"):
         def sel_step(q, e):
-            idx, nv = select_pages(e, seq, page, S, method=method)
+            # The selection input must depend on the carried q, or XLA
+            # hoists select_pages out of the timing fori_loop entirely
+            # (the r3 probe recorded 0.0 us for all methods this way —
+            # ADVICE r3). A q-derived perturbation ~1e-6 of the score
+            # scale keeps the op inside the loop without changing what
+            # is measured.
+            s = e + jnp.tanh(jnp.sum(q.astype(jnp.float32))) * 1e-6
+            idx, nv = select_pages(s, seq, page, S, method=method)
             return fb(q, idx)
         t = bench_op(sel_step, q, iters=iters, reps=reps, env=scores0)
         log(f"select {method}: {t*1e6:8.1f} us")

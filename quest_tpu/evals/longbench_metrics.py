@@ -77,10 +77,17 @@ def classification_score(prediction: str, ground_truth: str,
 
 
 def retrieval_score(prediction: str, ground_truth: str, **kw) -> float:
+    """Fraction of the numbers in the prediction equal to the gold
+    paragraph id (the benchmark's semantics,
+    `/root/reference/evaluation/LongBench/metrics.py:56-66` — NOT
+    binary membership, which over-scores predictions that hedge by
+    listing several paragraph numbers)."""
     m = re.search(r"Paragraph (\d+)", ground_truth)
     gold = m.group(1) if m else normalize_answer(ground_truth)
-    found = re.findall(r"\d+", prediction)
-    return float(gold in found)
+    numbers = re.findall(r"\d+", prediction)
+    if not numbers:
+        return 0.0
+    return sum(1 for n in numbers if n == gold) / len(numbers)
 
 
 def count_score(prediction: str, ground_truth: str, **kw) -> float:
@@ -122,10 +129,14 @@ def rouge_zh_score(prediction: str, ground_truth: str, **kw) -> float:
 
 
 def retrieval_zh_score(prediction: str, ground_truth: str, **kw) -> float:
+    """Fraction semantics — see retrieval_score
+    (`/root/reference/evaluation/LongBench/metrics.py:68-78`)."""
     m = re.search(r"段落(\d+)", ground_truth)
     gold = m.group(1) if m else normalize_answer(ground_truth)
-    found = re.findall(r"\d+", prediction)
-    return float(gold in found)
+    numbers = re.findall(r"\d+", prediction)
+    if not numbers:
+        return 0.0
+    return sum(1 for n in numbers if n == gold) / len(numbers)
 
 
 def code_sim_score(prediction: str, ground_truth: str, **kw) -> float:

@@ -63,6 +63,17 @@ def _repair_approx(av: jnp.ndarray, ai: jnp.ndarray,
     return jnp.where(jnp.logical_or(bad, short), window, ai)
 
 
+def serving_method(pool_pages: int, budget_pages: int) -> str:
+    """The serving config's static selection rule, shared by callers
+    (bench.py, engine defaults) so they cannot drift from the gate
+    ``select_pages`` itself applies: verified-exact ``exact_fast``
+    where its exactness certificate is measured reliable
+    (pool <= 16 * budget — see the in-line gate below), approx +
+    branch-free per-row repair beyond (e.g. 128K pools, where
+    exact_fast statically degrades to the full sort)."""
+    return "exact_fast" if pool_pages <= 16 * budget_pages else "approx"
+
+
 def select_pages(scores: jnp.ndarray, seq_lens: jnp.ndarray, page_size: int,
                  budget_pages: int,
                  sort_by_page: bool = True,

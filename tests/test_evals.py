@@ -132,6 +132,10 @@ def test_metrics():
     assert 0 < rouge_l_score("a b x d", "a b c d") < 1.0
     assert retrieval_score("Paragraph 7", "Paragraph 7") == 1.0
     assert retrieval_score("Paragraph 3", "Paragraph 7") == 0.0
+    # Fraction semantics (reference metrics.py:56-66): hedging across
+    # several paragraph numbers scores the matching fraction, not 1.0.
+    assert retrieval_score("Paragraph 7 or 3", "Paragraph 7") == 0.5
+    assert retrieval_score("no numbers here", "Paragraph 7") == 0.0
     assert classification_score("label_a", "label_a",
                                 ["label_a", "label_b"]) == 1.0
     s = score_task("qasper", ["Paris", "no"], [["paris"], ["yes"]])
@@ -193,3 +197,4 @@ def test_zh_metrics():
     assert rouge_zh_score("会议讨论了预算", "会议讨论了明年的预算") > 0.7
     assert retrieval_zh_score("答案是段落3", "段落3") == 1.0
     assert retrieval_zh_score("答案是段落4", "段落3") == 0.0
+    assert retrieval_zh_score("段落3或段落5", "段落3") == 0.5
