@@ -176,17 +176,15 @@ class ContinuousBatchingEngine:
         # counterpart): registry of published block-aligned prompt
         # prefixes per dp group, LRU-capped; each entry holds one
         # pages_retain on its physical blocks, so shared KV survives
-        # the donor request. The borrower's per-slot min/max metadata
-        # is recomputed on device from the shared pages at admission
-        # (kv/paged_kv.py:recompute_meta_rows). Under the mesh this
-        # runs INSIDE shard_map (parallel/tp.py:make_recompute_fn):
-        # block-table values are dp-group-local, so each shard gathers
-        # from its own pool slice — outside shard_map GSPMD would
-        # all-gather the whole physical pool. Registries, allocators,
-        # and published block ids are already per dp group.
+        # the donor request. Min/max metadata is keyed by PHYSICAL
+        # block (kv/paged_kv.py), so borrowed blocks carry their
+        # metadata and admission is pure host bookkeeping — zero
+        # device dispatches (round 3's per-slot metadata needed an
+        # on-device recompute per admission, a measured net slowdown).
+        # Registries, allocators, and published block ids are per dp
+        # group.
         self._bpp = bpp
         self._prefix_cap = prefix_cache_entries
-        self._recompute_fns: Dict[int, object] = {}  # bucket -> fn
         from collections import OrderedDict
         self._prefix: List[OrderedDict] = [OrderedDict()
                                            for _ in range(dp)]
@@ -323,45 +321,13 @@ class ContinuousBatchingEngine:
                                   rng=rng, sid=sid, prefill_pos=sh_tokens,
                                   shared_blocks=shared)
             self._hlens[b] = sh_tokens
+            # Borrowed blocks carry their min/max metadata (it is keyed
+            # by physical block, kv/paged_kv.py) — aliasing the table
+            # row IS the whole admission; no device work.
             self.cache = dataclasses.replace(
                 self.cache,
                 block_tab=self.cache.block_tab.at[b].set(jnp.asarray(row)),
                 seq_lens=self.cache.seq_lens.at[b].set(sh_tokens))
-            if n_sh:
-                # Borrowed pages need this slot's min/max metadata —
-                # derive it on device from the shared KV data. n_pages
-                # is a STATIC jit arg: bucket to the next power of two
-                # so admissions compile O(log max_pages) programs, not
-                # one per prefix length (rows past the real prefix are
-                # overwritten by this slot's own appends, and selection
-                # masks pages >= num_pages meanwhile).
-                from quest_tpu.kv.paged_kv import recompute_meta_rows
-                n = n_sh * self._bpp
-                bucket = 1
-                while bucket < n:
-                    bucket *= 2
-                bucket = min(bucket, self.quest.max_pages)
-                fn = self._recompute_fns.get(bucket)
-                if fn is None:
-                    if self.mesh is None:
-                        # Jitted + donated: un-jitted, each of the
-                        # ~15 ops is a separate remote dispatch
-                        # (~1 s/admission through the tunnel — made
-                        # the prefix-cache serving bench 4.8x SLOWER
-                        # than no caching).
-                        import functools
-                        fn = jax.jit(functools.partial(
-                            recompute_meta_rows, n_pages=bucket),
-                            donate_argnums=(0,))
-                    else:
-                        from quest_tpu.parallel.tp import make_recompute_fn
-                        fn = make_recompute_fn(self.mesh, bucket)
-                    self._recompute_fns[bucket] = fn
-                if self.mesh is None:
-                    self.cache = fn(self.cache, jnp.int32(b))
-                else:
-                    self.cache = fn(self.cache,
-                                    jnp.asarray([b], jnp.int32))
 
     def _publish_prefix(self, b: int, s: _Slot) -> None:
         """Register the completed prompt's full blocks for reuse. Each

@@ -13,12 +13,22 @@ TPU-first redesign:
     (scalar-core descriptor issue is the measured bottleneck at this
     granularity), and the head axis is the natural tensor-parallel
     sharding axis (per-head page selection is shard-local).
-  * **Metadata as two dense contiguous arrays** ``k_max/k_min
-    [L, B, Hkv, pages, head_dim]`` (the reference stores these as the
-    K/V slots of a second paged cache, `controller.py:29-37`): the
-    estimate op consumes them as plain matmul operands. (Measured: a
-    packed ``[pages, 2, D]`` variant looks elegant but XLA lowers the
-    reshape-matmul 10x slower than two matmuls on contiguous arrays.)
+  * **Metadata as two dense contiguous arrays keyed by PHYSICAL page**
+    ``k_max/k_min [L, Hkv, phys_blocks, block_pages, head_dim]``,
+    parallel to the physical data pool (the reference stores these as
+    the K/V slots of a second per-sequence paged cache,
+    `controller.py:29-37`). Keying by physical page means metadata
+    travels WITH the page: prefix-cache admission aliases shared
+    blocks into a new slot's table and their min/max metadata comes
+    along for free (round 3 kept metadata slot-dense and had to
+    recompute it from KV data on every borrow — a measured net
+    slowdown). The estimate scores the physical pool once per batch
+    with two MXU matmuls on the contiguous arrays, then each slot
+    gathers its logical scores through its block table (a tiny
+    [B, H, P] f32 gather; ops/estimate.py:page_scores_physical).
+    (Measured: a packed ``[pages, 2, D]`` variant looks elegant but
+    XLA lowers the reshape-matmul 10x slower than two matmuls on
+    contiguous arrays.)
   * **Static shapes**: the pool is pre-sized to ``max_pages``; a scalar
     ``seq_lens`` tracks fill. Pages of a sequence occupy slots
     ``0..ceil(seq/page)-1`` in order — appends are
@@ -44,7 +54,6 @@ Invariants:
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -78,14 +87,17 @@ class PagedKVCache:
     rows, padded prefill rows) can never touch pages owned by another
     sequence. Allocators hand out blocks 1..NP/bpp-1.
 
-    The min/max-Key METADATA stays slot-dense ([B, P] logical) — it is
-    1/page_size of the data and the estimate op consumes it as plain
-    contiguous matmul operands.
+    The min/max-Key METADATA is keyed by physical page too, blocked
+    the same way (``[L, Hkv, NPB, bpp, D]`` with NPB*bpp == NP), so
+    shared prefix blocks carry their metadata across slots and an
+    admission that aliases blocks needs ZERO metadata work. Stale
+    metadata in released blocks is harmless: a slot only exposes pages
+    < num_pages, all freshly appended by their current owner.
     """
 
     kv_pages: jnp.ndarray   # [L, Hkv, NP, 2, page, D]  shared physical pool
-    k_max: jnp.ndarray      # [L, B, Hkv, P, D]
-    k_min: jnp.ndarray      # [L, B, Hkv, P, D]
+    k_max: jnp.ndarray      # [L, Hkv, NPB, bpp, D]  physical-page-keyed
+    k_min: jnp.ndarray      # [L, Hkv, NPB, bpp, D]
     block_tab: jnp.ndarray  # [B, NB] int32 physical block per logical block
     seq_lens: jnp.ndarray   # [B] int32 — tokens currently stored
 
@@ -96,7 +108,7 @@ class PagedKVCache:
     @property
     def max_pages(self) -> int:
         """Logical pages per slot."""
-        return self.k_max.shape[3]
+        return self.block_tab.shape[1] * self.block_pages
 
     @property
     def num_phys_pages(self) -> int:
@@ -104,11 +116,11 @@ class PagedKVCache:
 
     @property
     def block_pages(self) -> int:
-        return self.max_pages // self.block_tab.shape[1]
+        return self.k_max.shape[3]
 
     @property
     def batch_size(self) -> int:
-        return self.k_max.shape[1]
+        return self.block_tab.shape[0]
 
     def layer(self, l: int) -> "LayerKV":
         """Materialized per-slot view [B, Hkv, P, ...] of one layer
@@ -116,11 +128,17 @@ class PagedKVCache:
         not the serving path)."""
         bpp = self.block_pages
         B = self.batch_size
+        P = self.max_pages
         phys = (self.block_tab[:, :, None] * bpp
                 + jnp.arange(bpp)[None, None, :]).reshape(B, -1)  # [B, P]
         kv = self.kv_pages[l][:, phys]          # [Hkv, B, P, 2, page, D]
-        return LayerKV(jnp.swapaxes(kv, 0, 1), self.k_max[l],
-                       self.k_min[l], self.seq_lens)
+        Hkv, D = self.k_max.shape[1], self.k_max.shape[-1]
+        kmax = self.k_max[l][:, self.block_tab]  # [Hkv, B, NB, bpp, D]
+        kmin = self.k_min[l][:, self.block_tab]
+        return LayerKV(jnp.swapaxes(kv, 0, 1),
+                       jnp.swapaxes(kmax.reshape(Hkv, B, P, D), 0, 1),
+                       jnp.swapaxes(kmin.reshape(Hkv, B, P, D), 0, 1),
+                       self.seq_lens)
 
 
 @jax.tree_util.register_dataclass
@@ -184,10 +202,11 @@ def init_cache(model: ModelConfig, quest: QuestConfig, batch_size: int = 1,
     btab = jnp.where(row_fits,
                      1 + local_rows * NB + jnp.arange(NB, dtype=jnp.int32),
                      0)
+    NPB_local = NP_local // bpp
     return PagedKVCache(
         kv_pages=jnp.zeros((L, H, dp * NP_local, 2, page, D), dtype=dt),
-        k_max=jnp.zeros((L, B, H, P, D), dtype=mdt),
-        k_min=jnp.zeros((L, B, H, P, D), dtype=mdt),
+        k_max=jnp.zeros((L, H, dp * NPB_local, bpp, D), dtype=mdt),
+        k_min=jnp.zeros((L, H, dp * NPB_local, bpp, D), dtype=mdt),
         block_tab=btab,
         seq_lens=jnp.zeros((B,), dtype=jnp.int32),
     )
@@ -342,10 +361,10 @@ def append_decode_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
 
     ``active`` [B] bool: slots with ``active=False`` are routed to the
     scratch block (their table lookup is overridden with block 0) and
-    keep their metadata untouched — in a shared pool an inactive slot's
-    "one past seq_len" position may not be backed by a block it owns,
-    and a metadata max/min fold of a garbage key would inflate the
-    page's criticality bound forever.
+    their metadata fold is a read-back no-op — in a shared pool an
+    inactive slot's "one past seq_len" position may not be backed by a
+    block it owns, and a metadata max/min fold of a garbage key would
+    inflate the page's criticality bound forever.
     """
     kv, kmax, kmin, btab = (cache.kv_pages, cache.k_max, cache.k_min,
                             cache.block_tab)
@@ -359,17 +378,27 @@ def append_decode_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
     e_idx = pos % page
     tab = btab if active is None else jnp.where(active[:, None], btab, 0)
     row = jnp.arange(B)
-    p_phys = tab[row, p_log // bpp] * bpp + p_log % bpp   # [B]
+    blk = tab[row, p_log // bpp]                          # [B] phys block
+    off = p_log % bpp                                     # [B] page in block
+    p_phys = blk * bpp + off                              # [B]
 
     # Data: ONE scatter of [B, Hkv, 2, D] (advanced indices at the
     # page/entry axes; broadcast batch dim lands in front).
     tok = jnp.stack([kq, vq], axis=2)                     # [B, Hkv, 2, D]
     kv = kv.at[layer, :, p_phys, :, e_idx, :].set(tok)
 
-    # Metadata (slot-dense, logical): batched gather -> fold -> scatter.
-    old_max = kmax[layer, row, :, p_log, :].astype(jnp.float32)  # [B,H,D]
-    old_min = kmin[layer, row, :, p_log, :].astype(jnp.float32)
-    kf = kq.astype(jnp.float32)
+    # Metadata (physical-page-keyed): batched gather -> fold -> scatter
+    # at the same (block, page) the data write targets. Inactive rows
+    # read and write scratch-block rows (a value-preserving no-op).
+    # Index-form note: `kmax[layer][:, blk, off]` has ADJACENT advanced
+    # indices -> [Hkv, B, D]; the scatter `at[layer, :, blk, off]` has
+    # them SEPARATED by the slice (the scalar layer counts) -> batch
+    # dims in FRONT, so set values are [B, Hkv, D].
+    old_max = jnp.swapaxes(kmax[layer][:, blk, off], 0, 1)  # [B, H, D]
+    old_min = jnp.swapaxes(kmin[layer][:, blk, off], 0, 1)
+    old_max = old_max.astype(jnp.float32)
+    old_min = old_min.astype(jnp.float32)
+    kf = kq.astype(jnp.float32)                              # [B, H, D]
     first = (e_idx == 0)[:, None, None]
     new_max = jnp.where(first, kf, jnp.maximum(old_max, kf))
     new_min = jnp.where(first, kf, jnp.minimum(old_min, kf))
@@ -377,8 +406,8 @@ def append_decode_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
         act = active[:, None, None]
         new_max = jnp.where(act, new_max, old_max)
         new_min = jnp.where(act, new_min, old_min)
-    kmax = kmax.at[layer, row, :, p_log, :].set(new_max.astype(kmax.dtype))
-    kmin = kmin.at[layer, row, :, p_log, :].set(new_min.astype(kmin.dtype))
+    kmax = kmax.at[layer, :, blk, off].set(new_max.astype(kmax.dtype))
+    kmin = kmin.at[layer, :, blk, off].set(new_min.astype(kmin.dtype))
     return PagedKVCache(kv, kmax, kmin, btab, cache.seq_lens)
 
 
@@ -437,8 +466,9 @@ def append_prefill_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
     win = jax.vmap(insert)(win, k_t, v_t, local)
     kv = kv.at[layer, :, phys_win].set(jnp.swapaxes(win, 1, 2))
 
-    # Recompute min/max over the touched page windows (skipped entirely
-    # for inactive rows — their window holds scratch garbage).
+    # Recompute min/max over the touched page windows, keyed by the
+    # PHYSICAL (block, page) the data write targeted (inactive rows'
+    # windows sit in scratch and their fold is a read-back no-op).
     new_len = offset + new_lens
     wkf = win[:, :, :, K].astype(jnp.float32)            # [B,Hkv,W,page,D]
     tok_ids = wpages[:, :, None] * page + jnp.arange(page)[None, None, :]
@@ -447,48 +477,26 @@ def append_prefill_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
     wmax = jnp.max(jnp.where(valid, wkf, -big), axis=3)  # [B, Hkv, W, D]
     wmin = jnp.min(jnp.where(valid, wkf, big), axis=3)
     any_valid = jnp.any(valid, axis=3)                   # [B, 1, W, 1]
-    old_max = jnp.swapaxes(kmax[layer, row[:, None], :, wpages], 1, 2)
-    old_min = jnp.swapaxes(kmin[layer, row[:, None], :, wpages], 1, 2)
+    wblk = tab[row[:, None], wpages // bpp]              # [B, W] phys block
+    woff = wpages % bpp                                  # [B, W]
+    # Gather form [:, wblk, woff] -> [Hkv, B, W, D] (adjacent advanced
+    # indices); the scatter at[layer, :, wblk, woff] puts batch dims in
+    # FRONT (separated by the slice) -> set values are [B, W, Hkv, D].
+    old_max = jnp.swapaxes(kmax[layer][:, wblk, woff], 0, 1)  # [B,Hkv,W,D]
+    old_min = jnp.swapaxes(kmin[layer][:, wblk, woff], 0, 1)
     write = jnp.logical_and(any_valid, active[:, None, None, None])
     wmax = jnp.where(write, wmax, old_max.astype(jnp.float32))
     wmin = jnp.where(write, wmin, old_min.astype(jnp.float32))
-    kmax = kmax.at[layer, row[:, None], :, wpages].set(
+    kmax = kmax.at[layer, :, wblk, woff].set(
         jnp.swapaxes(wmax.astype(kmax.dtype), 1, 2))
-    kmin = kmin.at[layer, row[:, None], :, wpages].set(
+    kmin = kmin.at[layer, :, wblk, woff].set(
         jnp.swapaxes(wmin.astype(kmin.dtype), 1, 2))
     return PagedKVCache(kv, kmax, kmin, btab, cache.seq_lens)
 
 
-@functools.partial(jax.jit, static_argnames=("n_pages",), donate_argnums=(0,))
-def recompute_meta_rows(cache: PagedKVCache, b, n_pages: int,
-                        active=None):
-    """Recompute the min/max-Key metadata of slot ``b``'s first
-    ``n_pages`` logical pages from the physical pool.
-
-    Prefix caching aliases physical blocks into a new slot's block
-    table, but metadata is per-slot (k_max/k_min are [L, B, Hkv, P, D])
-    and the donor's rows die with its slot — so a borrower derives the
-    shared pages' metadata from the (immutable, fully-written) shared
-    KV data itself: one gather + page-axis reduce over all layers.
-    ``n_pages`` must cover only FULL pages (block-aligned prefixes
-    guarantee this).
-
-    ``active`` (optional bool scalar): when False, the write is a
-    no-op on slot ``b``'s rows — the SPMD select used by the sharded
-    wrapper (parallel/tp.py:make_recompute_fn), where every dp shard
-    executes the recompute but only the owning group keeps it.
-    """
-    logical = jnp.arange(n_pages)
-    blk = cache.block_tab[b, logical // cache.block_pages]
-    phys = blk * cache.block_pages + logical % cache.block_pages
-    k = cache.kv_pages[:, :, phys, K]        # [L, Hkv, n, page, D]
-    kf = k.astype(jnp.float32)
-    kmax = jnp.max(kf, axis=3).astype(cache.k_max.dtype)
-    kmin = jnp.min(kf, axis=3).astype(cache.k_min.dtype)
-    if active is not None:
-        kmax = jnp.where(active, kmax, cache.k_max[:, b, :, :n_pages])
-        kmin = jnp.where(active, kmin, cache.k_min[:, b, :, :n_pages])
-    return dataclasses.replace(
-        cache,
-        k_max=cache.k_max.at[:, b, :, :n_pages].set(kmax),
-        k_min=cache.k_min.at[:, b, :, :n_pages].set(kmin))
+# (Round 3 had a `recompute_meta_rows` here: metadata was slot-dense,
+# so prefix-cache admission had to rebuild a borrower's metadata from
+# the shared KV data — a measured net slowdown (0.38x). Physical-page
+# keying makes borrowed metadata travel with the block; the recompute
+# machinery, its sharded wrapper (parallel/tp.py:make_recompute_fn),
+# and the per-admission dispatch are all deleted.)

@@ -40,7 +40,7 @@ from quest_tpu.kv.paged_kv import (PagedKVCache, append_decode_at,
                                    append_prefill_at)
 from quest_tpu.models.quantize import qdot
 from quest_tpu.ops.dense_decode import dense_decode_attention
-from quest_tpu.ops.estimate import page_scores, page_scores_per_qhead
+from quest_tpu.ops.estimate import page_scores_physical
 from quest_tpu.ops.fused_decode import fused_sparse_decode
 from quest_tpu.ops.prefill import prefill_attention
 from quest_tpu.ops.rms_norm import rms_norm
@@ -140,8 +140,8 @@ class QuestModel:
         # falls back to the 3-call pipeline, which has no such limits.
         if (use_sparse and quest.fused_decode
                 and quest.selection == "per_kv_head"
-                and cache.k_max.shape[3] >= 128
-                and cache.k_max.shape[3] % 64 == 0
+                and cache.max_pages >= 128
+                and cache.max_pages % 64 == 0
                 and quest.page_budget <= 256):
             # select_group must divide the (possibly TP-sharded local)
             # KV-head count and be a power of two (butterfly band
@@ -168,17 +168,15 @@ class QuestModel:
                 # Pallas variant wins standalone (~51 vs 64 us) but
                 # composed with the sparse-attention custom call it
                 # costs ~+180 us (operand copies between custom calls).
-                if per_q:
-                    # Reference-faithful per-QUERY-head selection
-                    # (`/root/reference/quest/utils/controller.py:106,119`,
-                    # `decode_page.cuh:325-351`): scores and top-k stay
-                    # [B, Hq, P] — each query head selects its own pages.
-                    scores = page_scores_per_qhead(q, cache.k_max[layer],
-                                                   cache.k_min[layer])
-                else:
-                    scores = page_scores(q, cache.k_max[layer],
-                                         cache.k_min[layer],
-                                         group_agg=quest.group_agg)
+                # Scores the physical pool once for the whole batch,
+                # then gathers per-slot logical scores (metadata is
+                # physical-page-keyed; per_q_head is the
+                # reference-faithful per-QUERY-head selection,
+                # `/root/reference/quest/utils/controller.py:106,119`).
+                scores = page_scores_physical(
+                    q, cache.k_max[layer], cache.k_min[layer],
+                    cache.block_tab, group_agg=quest.group_agg,
+                    per_q_head=per_q)
             with jax.named_scope("quest_topk"):
                 idx, num_valid = select_pages(scores, seq_lens,
                                               quest.page_size,

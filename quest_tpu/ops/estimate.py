@@ -80,6 +80,61 @@ def page_scores_per_qhead(q: jnp.ndarray, k_max: jnp.ndarray,
     return _group_scores(q, k_max, k_min).reshape(B, Hq, -1)
 
 
+def page_scores_physical(q: jnp.ndarray, k_max_l: jnp.ndarray,
+                         k_min_l: jnp.ndarray, block_tab: jnp.ndarray,
+                         group_agg: str = "max",
+                         per_q_head: bool = False) -> jnp.ndarray:
+    """Criticality scores over the PHYSICAL pool, gathered per slot.
+
+    The serving path's estimate (kv/paged_kv.py keys metadata by
+    physical page so prefix-shared blocks carry it across slots):
+
+      1. score every physical page once for the whole batch — two MXU
+         matmuls over the contiguous ``[Hkv, NP, D]`` metadata (the
+         same sign-split as :func:`page_scores`); the metadata HBM
+         stream is read ONCE regardless of batch size;
+      2. gather each slot's logical scores through its block table — a
+         tiny ``[B, H, P]`` f32 gather (256 KB at 32K/32 heads), three
+         orders of magnitude below the metadata stream.
+
+    Args:
+      q: [B, Hq, D] current decode query (un-scaled).
+      k_max_l/k_min_l: [Hkv, NPB, bpp, D] one layer's physical-block
+        metadata (``cache.k_max[layer]``).
+      block_tab: [B, NB] physical block per logical block.
+      group_agg: GQA group combine ("max" | "sum"); ignored per_q_head.
+      per_q_head: un-aggregated [B, Hq, P] output (reference-faithful
+        per-query-head selection).
+
+    Returns: [B, Hkv, P] f32 scores ([B, Hq, P] when per_q_head).
+    """
+    Hkv, NPB, bpp, D = k_max_l.shape
+    NP = NPB * bpp
+    B, Hq, _ = q.shape
+    G = Hq // Hkv
+    km = k_max_l.reshape(Hkv, NP, D).astype(jnp.float32)
+    kn = k_min_l.reshape(Hkv, NP, D).astype(jnp.float32)
+    qf = q.astype(jnp.float32).reshape(B, Hkv, G, D)
+    s = (jnp.einsum("bkgd,kpd->bkgp", jnp.maximum(qf, 0.0), km,
+                    precision=_HI)
+         + jnp.einsum("bkgd,kpd->bkgp", jnp.minimum(qf, 0.0), kn,
+                      precision=_HI))                    # [B, Hkv, G, NP]
+    if per_q_head:
+        s = s.reshape(B, Hq, NP)
+    elif group_agg == "max":
+        s = s.max(axis=2)
+    elif group_agg == "sum":
+        s = s.sum(axis=2)
+    else:
+        raise ValueError(f"unknown group_agg {group_agg!r}")
+    H = s.shape[1]
+    P = block_tab.shape[1] * bpp
+    phys = (block_tab[:, :, None] * bpp
+            + jnp.arange(bpp, dtype=block_tab.dtype)).reshape(B, 1, P)
+    return jnp.take_along_axis(s, jnp.broadcast_to(phys, (B, H, P)),
+                               axis=2)
+
+
 # ---------------------------------------------------------------------------
 # Pallas streaming estimate — same math as page_scores, but the min/max
 # arrays stream through VMEM in large page blocks (the XLA einsum

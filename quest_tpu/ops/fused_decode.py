@@ -263,12 +263,30 @@ def _kernel(page, D, K, Kp, G, Gp, Hkv, nbm, nbt, bp, nms, ngs, gsm, SG, agg,
         bb = hh // Hkv
         kk = hh % Hkv
         sl = ss % nms
-        pltpu.make_async_copy(
-            kmax_hbm.at[bb, kk, pl.ds(jj * bp, bp)],
-            mbuf.at[sl, 0], msem.at[sl]).start()
-        pltpu.make_async_copy(
-            kmin_hbm.at[bb, kk, pl.ds(jj * bp, bp)],
-            mbuf.at[sl, 1], msem.at[sl]).start()
+        if shared:
+            # Physical-block-keyed metadata ([Hkv, NPB, bp2, D],
+            # kv/paged_kv.py): the logical bp-page block spans bp/bp2
+            # physical blocks, each one contiguous [bp2, D] DMA whose
+            # address comes from the scalar-prefetched table. All
+            # copies signal the slot's semaphore; the wait below
+            # absorbs them by byte count.
+            for c in range(bp // bp2):
+                pblk = tab_ref[bb, (jj * bp) // bp2 + c]
+                pltpu.make_async_copy(
+                    kmax_hbm.at[kk, pblk],
+                    mbuf.at[sl, 0, pl.ds(c * bp2, bp2)],
+                    msem.at[sl]).start()
+                pltpu.make_async_copy(
+                    kmin_hbm.at[kk, pblk],
+                    mbuf.at[sl, 1, pl.ds(c * bp2, bp2)],
+                    msem.at[sl]).start()
+        else:
+            pltpu.make_async_copy(
+                kmax_hbm.at[bb, kk, pl.ds(jj * bp, bp)],
+                mbuf.at[sl, 0], msem.at[sl]).start()
+            pltpu.make_async_copy(
+                kmin_hbm.at[bb, kk, pl.ds(jj * bp, bp)],
+                mbuf.at[sl, 1], msem.at[sl]).start()
 
     def meta_start_if_valid(ss):
         @pl.when(ss < HT * nbm)
@@ -465,8 +483,10 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
       kv_pages: [B, Hkv, P, 2, page, D] packed paged cache — or the
         whole-model SHARED pool [L, Hkv, NP, 2, page, D] with a static
         ``layer`` (zero-copy read; requires ``block_tab``/
-        ``block_pages``; k_max/k_min are then [L, B, Hkv, P, D]).
-      k_max/k_min: [B, Hkv, P, D] per-page metadata.
+        ``block_pages``; k_max/k_min are then the physical-block-keyed
+        [L, Hkv, NPB, block_pages, D], kv/paged_kv.py).
+      k_max/k_min: [B, Hkv, P, D] per-page metadata (logical,
+        batch-dense — the per-layer test/bench mode).
       seq_lens: [B] int32 lengths including the current token.
       sm_scale: softmax scale.
       budget_pages: static top-K page budget (includes the last page).
@@ -487,7 +507,7 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
         assert block_tab is not None and block_pages is not None, (
             "shared whole-pool mode needs the block table")
         _, Hkv, _, _, page, _ = kv_pages.shape
-        P = k_max.shape[3]
+        P = block_tab.shape[1] * block_pages   # logical pages per slot
     G = Hq // Hkv
     Gp = round_up(G, 16)
     K = budget_pages
@@ -498,9 +518,18 @@ def fused_sparse_decode(q, kv_pages, k_max, k_min, seq_lens, *,
     # divisor (pools are 64-page multiples, config.py:max_pages, so
     # e.g. P=2112 -> bp=64, not an assert).
     cap = min(block_p, P // 2)
-    bp = max((d for d in range(64, cap + 1, 64) if P % d == 0),
+    # Shared mode streams metadata in [block_pages, D] physical-block
+    # DMAs, so bp must also be a block_pages multiple there.
+    quantum = 64
+    if layer is not None:
+        assert quantum % block_pages == 0 or block_pages % quantum == 0, (
+            f"block_pages={block_pages} incompatible with the 64-page "
+            "metadata lane quantum")
+        quantum = max(quantum, block_pages)
+    bp = max((d for d in range(quantum, cap + 1, quantum) if P % d == 0),
              default=0)
-    assert bp, f"pool pages {P} must be a multiple of 64 (and >= 128)"
+    assert bp, (f"pool pages {P} must be a multiple of {quantum} "
+                "(and >= 2x that)")
     nbm = P // bp
     # Band rows padded to a power of two (butterfly reductions; junk
     # rows carry page ids >= P, which the validity mask kills).

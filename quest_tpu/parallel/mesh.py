@@ -55,14 +55,15 @@ def cache_specs() -> object:
     The shared physical pool has no batch axis; its PAGE axis shards on
     dp (pages are interchangeable, each dp group runs its own
     allocator), block-table VALUES are shard-local by construction
-    (kv/paged_kv.py:init_cache dp= layout), and the slot-dense
-    metadata/tables/seq_lens shard their batch axis on dp as before.
+    (kv/paged_kv.py:init_cache dp= layout). The min/max metadata is
+    physical-BLOCK-keyed (parallel to the pool), so it shards exactly
+    like kv_pages: heads on tp, physical blocks on dp.
     """
     from quest_tpu.kv.paged_kv import PagedKVCache
     return PagedKVCache(
         kv_pages=P(None, TP_AXIS, DP_AXIS, None, None, None),
-        k_max=P(None, DP_AXIS, TP_AXIS, None, None),
-        k_min=P(None, DP_AXIS, TP_AXIS, None, None),
+        k_max=P(None, TP_AXIS, DP_AXIS, None, None),
+        k_min=P(None, TP_AXIS, DP_AXIS, None, None),
         block_tab=P(DP_AXIS, None),
         seq_lens=P(DP_AXIS),
     )

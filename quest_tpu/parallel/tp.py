@@ -15,7 +15,6 @@ from functools import partial
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from quest_tpu.config import ModelConfig, QuestConfig
@@ -117,38 +116,10 @@ def make_serving_fns(cfg: ModelConfig, quest: QuestConfig, mesh: Mesh):
             jax.jit(_sample, donate_argnums=(1,)))
 
 
-def make_recompute_fn(mesh: Mesh, n_pages: int):
-    """Sharded `kv/paged_kv.py:recompute_meta_rows` for prefix caching
-    under the mesh.
-
-    Outside shard_map, GSPMD cannot prove the block-table gather stays
-    inside the owning dp group's pool slice and would all-gather the
-    whole physical pool; inside, each shard runs the gather on ITS
-    local slice. SPMD trick: every shard executes the recompute on the
-    (clamped) local slot index, and only the owning group's result is
-    kept via a masked select on the touched metadata rows.
-
-    Returns recompute(cache, b) -> cache with slot ``b``'s (global
-    index) first ``n_pages`` metadata rows rebuilt from the shared KV
-    pages.
-    """
-    from quest_tpu.kv.paged_kv import recompute_meta_rows
-
-    cspecs = cache_specs()
-
-    @partial(jax.shard_map, mesh=mesh, in_specs=(cspecs, P()),
-             out_specs=cspecs, check_vma=False)
-    def _recompute(cache, b):
-        spg = cache.block_tab.shape[0]          # local slots per group
-        g = jax.lax.axis_index(DP_AXIS)
-        lb = b[0] - g * spg
-        owns = jnp.logical_and(lb >= 0, lb < spg)
-        lbc = jnp.clip(lb, 0, spg - 1)
-        new = recompute_meta_rows(cache, lbc, n_pages=n_pages,
-                                  active=owns)
-        return new
-
-    return jax.jit(_recompute, donate_argnums=(0,))
+# (Round 3 had a `make_recompute_fn` here — the sharded wrapper of the
+# prefix-cache metadata recompute. Physical-block-keyed metadata made
+# the whole per-admission recompute machinery unnecessary: shared
+# blocks carry their min/max metadata, see kv/paged_kv.py.)
 
 
 def init_sharded_cache(cfg: ModelConfig, quest: QuestConfig, mesh: Mesh,

@@ -37,6 +37,54 @@ def test_estimate_matches_double_loop(Hq, Hkv):
         np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("per_q", [False, True])
+def test_page_scores_physical_matches_logical_view(per_q):
+    """The serving estimate (physical-pool einsum + block-table score
+    gather, ops/estimate.py:page_scores_physical) must equal scoring
+    the materialized logical metadata view — including through aliased
+    (prefix-shared) and scratch-pointing table rows."""
+    from quest_tpu.config import ModelConfig, QuestConfig
+    from quest_tpu.kv.paged_kv import append_prefill_at, init_cache
+    from quest_tpu.ops.estimate import page_scores_physical
+
+    rng = np.random.default_rng(7)
+    page, Hkv, D, B, G = 8, 2, 32, 2, (2 if per_q else 1)
+    Hq = Hkv * G
+    quest = QuestConfig(page_size=page, max_seq_len=page * 64,
+                        kv_dtype=jnp.float32, block_pages=4)
+    model = ModelConfig(num_kv_heads=Hkv, num_heads=Hq, head_dim=D)
+    cache = init_cache(model, quest, batch_size=B, num_layers=1)
+    T1, T2 = 70, 29
+    k = rng.standard_normal((B, max(T1, T2), Hq // G, D)).astype(np.float32)
+    v = rng.standard_normal((B, max(T1, T2), Hq // G, D)).astype(np.float32)
+    lens = jnp.asarray([T1, T2], jnp.int32)
+    cache = append_prefill_at(cache, 0, jnp.asarray(k), jnp.asarray(v),
+                              new_lens=lens)
+    import dataclasses as dc
+    cache = dc.replace(cache, seq_lens=lens)
+
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    view = cache.layer(0)
+    for agg in ("max", "sum"):
+        got = page_scores_physical(q, cache.k_max[0], cache.k_min[0],
+                                   cache.block_tab, group_agg=agg,
+                                   per_q_head=per_q)
+        if per_q:
+            want = page_scores_per_qhead(q, view.k_max, view.k_min)
+        else:
+            want = page_scores(q, view.k_max, view.k_min, group_agg=agg)
+        # Compare only valid pages: the logical view's invalid rows
+        # hold zero-init metadata, the physical gather may surface a
+        # different (scratch/stale) row — both are masked downstream.
+        for b, t in enumerate([T1, T2]):
+            n = (t + page - 1) // page
+            np.testing.assert_allclose(np.asarray(got)[b, :, :n],
+                                       np.asarray(want)[b, :, :n],
+                                       rtol=1e-5, atol=1e-5)
+        if per_q:
+            break                       # agg is ignored per_q_head
+
+
 @pytest.mark.parametrize("sort_by_page", [True, False])
 def test_topk_forces_last_page_and_matches_reference_set(sort_by_page):
     rng = np.random.default_rng(1)

@@ -179,13 +179,15 @@ def test_fp8_kv_cache_roundtrip_and_attention():
                                rtol=3e-3, atol=3e-3)
 
 
-def test_recompute_meta_rows_matches_append_metadata():
-    """Prefix caching derives borrowed pages' metadata from the shared
-    KV data (kv/paged_kv.py:recompute_meta_rows); for full pages it
-    must reproduce the append-time metadata exactly."""
-    import jax
+def test_shared_blocks_carry_metadata():
+    """Metadata is keyed by PHYSICAL block (kv/paged_kv.py), so a
+    prefix-cache borrower that aliases a donor's blocks into its table
+    row sees the donor's append-time min/max metadata bit-exactly, with
+    zero device work at admission (round 3 recomputed it from KV data
+    per admission — machinery this layout deletes)."""
+    import dataclasses as dc
 
-    from quest_tpu.kv.paged_kv import append_prefill_at, recompute_meta_rows
+    from quest_tpu.kv.paged_kv import append_prefill_at
 
     rng = np.random.default_rng(4)
     page, H, D, B = 8, 2, 32, 2
@@ -193,24 +195,40 @@ def test_recompute_meta_rows_matches_append_metadata():
                         kv_dtype=jnp.float32, block_pages=4)
     model = ModelConfig(num_kv_heads=H, num_heads=H, head_dim=D)
     cache = init_cache(model, quest, batch_size=B, num_layers=2)
-    T = 80                               # 10 full pages
-    k = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32))
+    T = 80                               # 10 full pages = 2.5 blocks
+    k = rng.standard_normal((B, T, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, T, H, D)).astype(np.float32)
+    # Only slot 0 (the donor) prefills; slot 1 stays empty.
+    lens = jnp.asarray([T, 0], jnp.int32)
     for l in range(2):
-        cache = append_prefill_at(cache, l, k, v,
-                                  new_lens=jnp.asarray([T, T], jnp.int32))
+        cache = append_prefill_at(cache, l, jnp.asarray(k),
+                                  jnp.asarray(v), new_lens=lens)
+    cache = dc.replace(cache, seq_lens=jnp.asarray([T, 0], jnp.int32))
 
-    want_max = np.asarray(cache.k_max)
-    want_min = np.asarray(cache.k_min)
-    # Scrub slot 1's metadata, then recompute its first 8 full pages
-    # (2 blocks of 4) from the pool through the block table.
-    cache2 = cache
-    import dataclasses as dc
-    cache2 = dc.replace(cache2,
-                        k_max=cache2.k_max.at[:, 1].set(0.0),
-                        k_min=cache2.k_min.at[:, 1].set(0.0))
-    cache2 = recompute_meta_rows(cache2, jnp.int32(1), n_pages=8)
-    np.testing.assert_array_equal(np.asarray(cache2.k_max)[:, 1, :, :8],
-                                  want_max[:, 1, :, :8])
-    np.testing.assert_array_equal(np.asarray(cache2.k_min)[:, 1, :, :8],
-                                  want_min[:, 1, :, :8])
+    donor = np.asarray(cache.block_tab)[0]
+    n_shared_blocks = 2                  # 8 full pages
+    # "Admission": alias the donor's first blocks into slot 1's row.
+    row1 = np.asarray(cache.block_tab)[1].copy()
+    row1[:n_shared_blocks] = donor[:n_shared_blocks]
+    cache = dc.replace(
+        cache,
+        block_tab=cache.block_tab.at[1].set(jnp.asarray(row1)),
+        seq_lens=jnp.asarray([T, n_shared_blocks * 4 * page], jnp.int32))
+
+    view = cache.layer(1)
+    n_pages = n_shared_blocks * 4
+    view0 = cache.layer(0)
+    np.testing.assert_array_equal(
+        np.asarray(view.k_max)[1, :, :n_pages],
+        np.asarray(view0.k_max)[0, :, :n_pages])
+    np.testing.assert_array_equal(
+        np.asarray(view.k_min)[1, :, :n_pages],
+        np.asarray(view0.k_min)[0, :, :n_pages])
+    # And the borrower's scores over shared pages equal the donor's.
+    from quest_tpu.ops.estimate import page_scores_physical
+    q = jnp.asarray(rng.standard_normal((B, H, D)).astype(np.float32))
+    qq = jnp.stack([q[0], q[0]])         # same query in both slots
+    s = page_scores_physical(qq, cache.k_max[0], cache.k_min[0],
+                             cache.block_tab, group_agg="sum")
+    np.testing.assert_allclose(np.asarray(s)[1, :, :n_pages],
+                               np.asarray(s)[0, :, :n_pages], rtol=1e-6)
