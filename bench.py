@@ -64,6 +64,8 @@ def emit(out: dict):
 
 
 def run_stage(stage: str, ctx: int, page: int):
+    import dataclasses
+
     import numpy as np
     import jax
 
@@ -88,9 +90,9 @@ def run_stage(stage: str, ctx: int, page: int):
     import jax.numpy as jnp
 
     from quest_tpu.config import ModelConfig, QuestConfig
-    from quest_tpu.kv.paged_kv import LayerKV, append_prefill, init_cache
+    from quest_tpu.kv.paged_kv import append_prefill_at, init_cache
     from quest_tpu.ops.dense_decode import dense_decode_attention
-    from quest_tpu.ops.estimate import page_scores
+    from quest_tpu.ops.estimate import page_scores_physical
     from quest_tpu.ops.fused_decode import fused_sparse_decode
     from quest_tpu.ops.sparse_decode import sparse_decode_attention
     from quest_tpu.ops.topk import select_pages, serving_method
@@ -110,8 +112,11 @@ def run_stage(stage: str, ctx: int, page: int):
     rng = np.random.default_rng(0)
     iters, reps = ((8, 72), 5) if on_tpu else ((2, 6), 2)
 
+    # Whole-pool cache (the PRODUCTION layout: shared physical pool +
+    # block table + physical-page-keyed metadata) so the bench measures
+    # exactly the engine's zero-copy decode path, not a gathered view.
     cache = init_cache(model, quest, batch_size=B, num_layers=1)
-    layer = cache.layer(0)
+    bpp, maxp = cache.block_pages, cache.max_pages
     # Fill in chunks: a single bulk append's page-window RMW spans
     # the whole pool at 128K and OOMs alongside the staging arrays.
     # KV data is generated ON DEVICE — host->device transfer through
@@ -122,19 +127,20 @@ def run_stage(stage: str, ctx: int, page: int):
     import functools
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def fill(layer, key, off):
+    def fill(cache, key, off):
         k1, k2 = jax.random.split(key)
         k_new = jax.random.normal(k1, (B, CH, Hkv, D), jnp.float32) * 0.3
         v_new = jax.random.normal(k2, (B, CH, Hkv, D), jnp.float32) * 0.3
-        layer = append_prefill(layer, k_new, v_new)
-        return LayerKV(layer.kv_pages, layer.k_max, layer.k_min,
-                       jnp.asarray([0], jnp.int32) + off + CH)
+        cache = append_prefill_at(cache, 0, k_new, v_new)
+        return dataclasses.replace(
+            cache, seq_lens=jnp.zeros((B,), jnp.int32) + off + CH)
 
     key = jax.random.PRNGKey(0)
     for off in range(0, ctx, CH):
         key, sub = jax.random.split(key)
-        layer = fill(layer, sub, jnp.int32(off))
-    np.asarray(layer.seq_lens)  # forced fetch: fill chain really done
+        cache = fill(cache, sub, jnp.int32(off))
+    np.asarray(cache.seq_lens)  # forced fetch: fill chain really done
+    btab = cache.block_tab      # post-fill: the fill loop donates cache
     log("cache filled")
     seq = jnp.asarray([ctx], jnp.int32)
     q = jnp.asarray(
@@ -150,32 +156,37 @@ def run_stage(stage: str, ctx: int, page: int):
     f8 = jnp.float8_e4m3fn
 
     def sparse_env(meta_dtype=None):
-        km, kn = layer.k_max, layer.k_min
+        km, kn = cache.k_max, cache.k_min
         if meta_dtype is not None:
             km, kn = km.astype(meta_dtype), kn.astype(meta_dtype)
-        return (layer.kv_pages, km, kn)
+        return (cache.kv_pages, km, kn, btab)
 
     def make_sparse_step(method):
         def sparse_step(q, env):
-            kv_pages, kmax, kmin = env
-            scores = page_scores(q, kmax, kmin)
+            kv_pages, kmax, kmin, tab = env
+            scores = page_scores_physical(q, kmax[0], kmin[0], tab,
+                                          group_agg="sum")
             idx, num_valid = select_pages(scores, seq, page, S,
                                           method=method)
-            return fb(q, sparse_decode_attention(q, kv_pages, idx,
-                                                 num_valid, seq,
-                                                 sm_scale=sm))
+            return fb(q, sparse_decode_attention(
+                q, kv_pages, idx, num_valid, seq, sm_scale=sm,
+                layer=0, block_tab=tab, block_pages=bpp))
         return sparse_step
 
     def dense_step(q, env):
-        return fb(q, dense_decode_attention(q, env, seq, sm_scale=sm))
+        kv_pages, tab = env
+        return fb(q, dense_decode_attention(
+            q, kv_pages, seq, sm_scale=sm, layer=0, block_tab=tab,
+            block_pages=bpp, max_pages=maxp))
 
     def fused_step(q, env):
-        kv_pages, kmax, kmin = env
+        kv_pages, kmax, kmin, tab = env
         return fb(q, fused_sparse_decode(
             q, kv_pages, kmax, kmin, seq, sm_scale=sm, budget_pages=S,
             select_group=quest.fused_select_group,
             block_p=quest.fused_block_p,
-            gather_slots=quest.fused_gather_slots))
+            gather_slots=quest.fused_gather_slots,
+            layer=0, block_tab=tab, block_pages=bpp))
 
     if stage == "main":
         # Exact pipeline first (the headline), then the serving config,
@@ -187,7 +198,7 @@ def run_stage(stage: str, ctx: int, page: int):
                      reps=reps, env=sparse_env())
         emit({"unfused_us": t * 1e6})
         t = bench_op(dense_step, q, iters=iters, reps=reps,
-                     env=layer.kv_pages)
+                     env=(cache.kv_pages, btab))
         emit({"dense_us": t * 1e6})
         # Serving config: fp8 e4m3 metadata (halves the estimate's HBM
         # traffic) + the fastest sound selection for the pool size —
@@ -213,7 +224,7 @@ def run_stage(stage: str, ctx: int, page: int):
                      env=sparse_env())
         emit({"fused_us": t * 1e6})
         t = bench_op(dense_step, q, iters=iters, reps=reps,
-                     env=layer.kv_pages)
+                     env=(cache.kv_pages, btab))
         emit({"dense_us": t * 1e6})
         log("fused_fp8: first compile+run...")
         r = jax.jit(fused_step)(q, sparse_env(f8))
@@ -228,7 +239,7 @@ def run_stage(stage: str, ctx: int, page: int):
 
     # Drop the ~0.5-1 GB pool explicitly so the child's teardown (and
     # the next child's tunnel handshake) has less to clean up.
-    for arr in (layer.kv_pages, layer.k_max, layer.k_min):
+    for arr in (cache.kv_pages, cache.k_max, cache.k_min):
         arr.delete()
     log("buffers deleted; stage done")
 

@@ -111,6 +111,14 @@ class QuestConfig:
     # metadata and gather DMA streams) instead of the 3-call pipeline.
     # Exact-selection semantics; requires per_kv_head selection and a
     # pool of >= 128 pages (models/llama.py gates and falls back).
+    # DEMOTED (off by default, round 4): page_size=32 halves exactly
+    # the streams fusion was built to overlap, and the measured fused
+    # kernel then loses at every context length (32K: fused 243 us vs
+    # unfused-p32 78-94; 128K: fused 403-413 vs serving-p32 < 274) —
+    # the in-kernel radix select is real VPU/MXU work that the unfused
+    # pipeline gets nearly free from XLA's tuned sort/PartialReduce.
+    # Kept fully tested for pools where a single fused dispatch is
+    # preferable; see docs/decode_pipeline_perf.md "Round-4 verdict".
     fused_decode: bool = False
     # Fused-kernel tuning (v5e chip sweep, exp/r3_chip: at 128K the
     # best measured config is SG=8/bp=1024 — 403 us vs dense 2857, the

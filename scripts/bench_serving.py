@@ -36,6 +36,9 @@ def main():
                          "requests (exercises the prefix cache; also "
                          "measured with the cache disabled for the "
                          "speedup ratio)")
+    ap.add_argument("--ab-rounds", type=int, default=3,
+                    help="interleaved cached/uncached repeats for the "
+                         "prefix-cache speedup ratio (medians)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -43,6 +46,17 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Each A/B round builds a fresh engine whose jit wrappers re-lower;
+    # the persistent cache makes rounds 2..N compile-free.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("QUEST_JAX_CACHE",
+                                         "/tmp/quest_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001
+        pass
 
     import dataclasses
 
@@ -76,9 +90,17 @@ def main():
             prefix_cache_entries=prefix_entries)
         # Warm-up: compiles prefill + decode shapes (and, in the
         # shared-prefix scenario, publishes the prefix — the timed run
-        # measures the warm-cache steady state). Hit counters are
-        # reset so the report covers the timed run only.
+        # measures the warm-cache steady state). TWO warm-up batches
+        # when the prefix cache is live: the first publishes, the
+        # second HITS — a hit prefills only the prompt tail, a
+        # different padded shape whose compile otherwise lands inside
+        # the timed region (r3/r4 measured the prefix-cache run 2.3x
+        # slower purely from this: wall 14.89 s vs 6.42, of which one
+        # ~8 s tail-shape prefill compile). Hit counters are reset so
+        # the report covers the timed run only.
         engine.run(make_reqs(args.max_batch, 10000))
+        if prefix_entries and args.shared_prefix:
+            engine.run(make_reqs(args.max_batch, 20000))
         engine.prefix_hits = engine.prefix_hit_tokens = 0
         reqs = make_reqs(args.requests, 0)
         t0 = time.perf_counter()
@@ -101,9 +123,25 @@ def main():
         "prefix_hit_tokens": engine.prefix_hit_tokens,
     }
     if args.shared_prefix:
-        dt0, _, _ = run_engine(0)
-        result["wall_s_no_prefix_cache"] = round(dt0, 2)
-        result["prefix_cache_speedup"] = round(dt0 / dt, 2)
+        # Interleaved repeats, ratio of medians: a single cached /
+        # uncached pair of ~seconds-long engine runs carries the
+        # tunnel's wall-clock variance (r4 measured the SAME binary at
+        # 6.42 and 6.95 s uncached minutes apart), which can exceed the
+        # caching effect itself at modest shared fractions.
+        cached = [dt]
+        uncached = []
+        for _ in range(args.ab_rounds):
+            dt0, _, _ = run_engine(0)
+            uncached.append(dt0)
+            dtc, _, _ = run_engine(64)
+            cached.append(dtc)
+        med = sorted(cached)[len(cached) // 2]
+        med0 = sorted(uncached)[len(uncached) // 2]
+        result["wall_s_cached_runs"] = [round(x, 2) for x in cached]
+        result["wall_s_no_prefix_cache_runs"] = [round(x, 2)
+                                                 for x in uncached]
+        result["wall_s_no_prefix_cache"] = round(med0, 2)
+        result["prefix_cache_speedup"] = round(med0 / med, 2)
     print(json.dumps(result))
 
 
