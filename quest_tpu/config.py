@@ -157,6 +157,40 @@ class QuestConfig:
         return ((p + m - 1) // m) * m
 
 
+def serving_quest_config(max_seq_len: int, token_budget: int = 2048,
+                         **overrides) -> QuestConfig:
+    """The measured-optimal SERVING configuration (v5e, round 4).
+
+    Differences from the paper-faithful defaults, each backed by an
+    on-chip A/B and an accuracy proxy (docs/decode_pipeline_perf.md,
+    exp/r4_chip/page32_ab.log, scripts/accuracy_proxies.py):
+      * page_size=32 — same token budget in half the pages: halves the
+        metadata stream, halves the top-k input, gathers in 16 KB
+        descriptors (~15% more DMA bandwidth). 32K exact pipeline:
+        78-94 us vs 137-161 at page 16 (dense 717-726).
+      * fp8 e4m3 metadata — halves the estimate's HBM traffic; proxy
+        deltas <= 0.003 on every selection-quality metric.
+      * verified-exact selection where its certificate is reliable,
+        approx + per-row repair beyond (ops/topk.py:serving_method).
+    Accuracy-critical deployments keep QuestConfig() defaults
+    (page 16, bf16 metadata, exact top-k — the reference protocol).
+    """
+    import jax.numpy as jnp  # local: keep module import backend-free
+
+    from quest_tpu.ops.topk import serving_method
+
+    page = overrides.pop("page_size", 32)
+    probe = QuestConfig(page_size=page, token_budget=token_budget,
+                        max_seq_len=max_seq_len)
+    return dataclasses.replace(
+        probe,
+        meta_dtype=overrides.pop("meta_dtype", jnp.float8_e4m3fn),
+        topk_method=overrides.pop(
+            "topk_method",
+            serving_method(probe.max_pages, probe.page_budget)),
+        **overrides)
+
+
 # ---------------------------------------------------------------------------
 # Presets for the models the reference evaluates.
 # ---------------------------------------------------------------------------

@@ -128,11 +128,18 @@ def page_scores_physical(q: jnp.ndarray, k_max_l: jnp.ndarray,
     else:
         raise ValueError(f"unknown group_agg {group_agg!r}")
     H = s.shape[1]
-    P = block_tab.shape[1] * bpp
-    phys = (block_tab[:, :, None] * bpp
-            + jnp.arange(bpp, dtype=block_tab.dtype)).reshape(B, 1, P)
-    return jnp.take_along_axis(s, jnp.broadcast_to(phys, (B, H, P)),
-                               axis=2)
+    NB = block_tab.shape[1]
+    # Step 2 as a BLOCK-granular one-hot contraction, NOT a gather:
+    # take_along_axis along the minor score axis lowers to a
+    # pathological elementwise gather on TPU — measured 350-400 us for
+    # a 139 KB gather at 32K (exp/r4_chip/physpipe_probe.log), 4x the
+    # whole rest of the pipeline. The one-hot matmul is exact (0/1
+    # weights at HIGHEST precision), static-shape, and trivial MXU
+    # work (B*H*NB*bpp*NPB MACs ~ 0.5 MFLOP at 32K).
+    sel = jax.nn.one_hot(block_tab, NPB, dtype=s.dtype)  # [B, NB, NPB]
+    s_log = jnp.einsum("bhNp,bnN->bhnp", s.reshape(B, H, NPB, bpp), sel,
+                       precision=_HI)
+    return s_log.reshape(B, H, NB * bpp)
 
 
 # ---------------------------------------------------------------------------
@@ -170,8 +177,13 @@ def page_scores_kernel(q, k_max, k_min, group_agg: str = "max",
                        interpret: bool | None = None,
                        layer: int | None = None):
     """Pallas-streamed criticality scores; same contract as
-    ``page_scores``. ``k_max/k_min`` may be the whole-model arrays
-    [L, B, Hkv, P, D] with a static ``layer`` (zero-copy read)."""
+    ``page_scores`` (logical batch-dense [B, Hkv, P, D] operands).
+    ``layer`` additionally accepts stacked [L, B, Hkv, P, D] arrays
+    (zero-copy read of one layer). Standalone op for benches/probes —
+    the serving path uses the XLA einsum (page_scores_physical) which
+    composes better with the sparse-decode custom call, and the
+    engine's cache stores metadata physical-block-keyed
+    (kv/paged_kv.py), not in this op's logical layout."""
     if interpret is None:
         interpret = use_interpret()
     B, Hq, D = q.shape

@@ -37,6 +37,21 @@ def test_estimate_matches_double_loop(Hq, Hkv):
         np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-5)
 
 
+def test_serving_quest_config_factory():
+    """serving_quest_config pins the measured serving choices and keeps
+    the static selection rule in sync with ops/topk.serving_method."""
+    from quest_tpu.config import serving_quest_config
+
+    c = serving_quest_config(32768)
+    assert c.page_size == 32 and c.page_budget == 64
+    assert c.meta_dtype == jnp.float8_e4m3fn
+    assert c.topk_method == "exact_fast"      # pool 1024 <= 16*64
+    c2 = serving_quest_config(131072)
+    assert c2.topk_method == "approx"         # pool 4096 > 16*64
+    c3 = serving_quest_config(32768, page_size=16, topk_method="exact")
+    assert c3.page_size == 16 and c3.topk_method == "exact"
+
+
 @pytest.mark.parametrize("per_q", [False, True])
 def test_page_scores_physical_matches_logical_view(per_q):
     """The serving estimate (physical-pool einsum + block-table score
