@@ -77,7 +77,14 @@ def main():
         dep = jnp.tanh(jnp.sum(jnp.square(y.astype(jnp.float32)))) * 1e-3
         return (x + dep.astype(x.dtype)).astype(x.dtype)
 
-    env = (layer.kv_pages, layer.k_max, layer.k_min)
+    km, kn_ = layer.k_max, layer.k_min
+    if os.environ.get("QF_META") == "fp8":
+        # fp8 metadata A/B (with QF_ABLATE this isolates WHERE the
+        # fused_fp8 cost lives: the scoring path's in-kernel fp8->bf16
+        # upcast vs the select/gather stages).
+        km = km.astype(jnp.float8_e4m3fn)
+        kn_ = kn_.astype(jnp.float8_e4m3fn)
+    env = (layer.kv_pages, km, kn_)
     if os.environ.get("BF_SKIP_BASE"):
         # A Mosaic compiler crash (SIGABRT) kills the whole process, so
         # sweeps run one config per process; skip re-timing baselines.

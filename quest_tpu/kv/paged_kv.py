@@ -382,10 +382,8 @@ def append_decode_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
     off = p_log % bpp                                     # [B] page in block
     p_phys = blk * bpp + off                              # [B]
 
-    # Data: ONE scatter of [B, Hkv, 2, D] (advanced indices at the
-    # page/entry axes; broadcast batch dim lands in front).
+    # Data token rows [B, Hkv, 2, D].
     tok = jnp.stack([kq, vq], axis=2)                     # [B, Hkv, 2, D]
-    kv = kv.at[layer, :, p_phys, :, e_idx, :].set(tok)
 
     # Metadata (physical-page-keyed): batched gather -> fold -> scatter
     # at the same (block, page) the data write targets. Inactive rows
@@ -406,8 +404,32 @@ def append_decode_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
         act = active[:, None, None]
         new_max = jnp.where(act, new_max, old_max)
         new_min = jnp.where(act, new_min, old_min)
-    kmax = kmax.at[layer, :, blk, off].set(new_max.astype(kmax.dtype))
-    kmin = kmin.at[layer, :, blk, off].set(new_min.astype(kmin.dtype))
+
+    # All writes as an UNROLLED chain of per-slot dynamic_update_slice
+    # ops, NOT one advanced-index scatter: XLA DUS-ifies a single-row
+    # scatter in place, but a B>=2 multi-row scatter survives as a true
+    # scatter and copy-insertion materializes a FULL POOL COPY as an
+    # HLO temp inside every decode step — measured 8.19 GB of temp
+    # (and an OOM) for a B=2 128K config, ~5.5 ms/step of hidden copy
+    # wherever it fit; AOT bisection: temp 0.6 MB without the append
+    # vs 607 MB with the scatter. DUS is XLA's in-place-guaranteed
+    # primitive; the chain writes only the touched rows. Program size
+    # is O(B*L) HLO ops (3 per slot per layer) — fine for serving
+    # batches (B <= 8); re-evaluate for much larger B.
+    new_max = new_max.astype(kmax.dtype)
+    new_min = new_min.astype(kmin.dtype)
+    lz = jnp.int32(layer)
+    z = jnp.int32(0)
+    for b in range(B):
+        kv = jax.lax.dynamic_update_slice(
+            kv, tok[b][None, :, None, :, None, :],
+            (lz, z, p_phys[b], z, e_idx[b], z))
+        kmax = jax.lax.dynamic_update_slice(
+            kmax, new_max[b][None, :, None, None, :],
+            (lz, z, blk[b], off[b], z))
+        kmin = jax.lax.dynamic_update_slice(
+            kmin, new_min[b][None, :, None, None, :],
+            (lz, z, blk[b], off[b], z))
     return PagedKVCache(kv, kmax, kmin, btab, cache.seq_lens)
 
 

@@ -160,13 +160,6 @@ def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
         _, Hkv, P, _, page, _ = kv_pages.shape
     G = Hq // Hkv
 
-    # Keep the fused row count VMEM-friendly: the [R, block_k] f32
-    # score/prob temporaries must fit the 16 MB scoped-vmem limit, so
-    # cap R = G*block_q at 1024 (8 MB of temporaries at block_k=1024).
-    # The cap must round DOWN to the 16-row sublane tile (1024//G is
-    # not a multiple of 16 for e.g. G=3) and hold for any G.
-    cap = max((1024 // G) // 16 * 16, 16)
-    block_q = min(block_q, round_up(T, 16), cap)
     if shared:
         # KV stream granularity = allocation granularity, so each table
         # entry is directly a stream-block index.
@@ -175,6 +168,17 @@ def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
     else:
         bpk = max(1, min(block_k // page, P))
     block_k = bpk * page
+    # Keep the fused row count VMEM-friendly: the [R, block_k] f32
+    # score/prob temporaries must fit the 16 MB scoped-vmem limit, so
+    # cap R*block_k at 1M elements (8 MB of temporaries; at the tuned
+    # block_k=1024 this is the round-3 R<=1024 cap). block_k is not
+    # always 1024: shared mode pins it to block_pages*page, which is
+    # 2048 tokens at page 32 — the uncorrected cap OOM'd scoped vmem
+    # at 20.7M (exp/r4_chip/e2e8_128k_serving.log, first attempt).
+    # The cap must round DOWN to the 16-row sublane tile (1024//G is
+    # not a multiple of 16 for e.g. G=3) and hold for any G.
+    cap = max(((1024 * 1024 // block_k) // G) // 16 * 16, 16)
+    block_q = min(block_q, round_up(T, 16), cap)
 
     qt = (q.astype(jnp.float32) * sm_scale).transpose(0, 2, 1, 3)
     Tp = round_up(T, block_q)

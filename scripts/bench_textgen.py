@@ -68,6 +68,12 @@ def main():
                     help="max prompt tokens per prefill call (bounds "
                     "activation temporaries; 32-layer models at 16K "
                     "chunks OOM one chip)")
+    ap.add_argument("--ab-full", action="store_true",
+                    help="also time a FULL-CACHE control engine "
+                         "(budget=ctx, dense decode) in the SAME "
+                         "process, sharing weights, and report the "
+                         "e2e decode speedup (cross-process ratios "
+                         "carry the tunnel's ~25% variance)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke runs)")
     args = ap.parse_args()
@@ -150,7 +156,7 @@ def main():
     log(f"prefill {ctx} tokens: {t_prefill*1e3:.1f} ms "
         f"({ctx / t_prefill:.0f} tok/s)")
     log(f"decode: {t_decode*1e3:.3f} ms/token ({toks_per_s:.1f} tok/s)")
-    print(json.dumps({
+    result = {
         "model": args.model, "layers": cfg.num_layers, "ctx": ctx,
         "budget": budget, "batch": args.batch,
         "quantize_bits": args.quantize, "kv_dtype": args.kv_dtype,
@@ -159,7 +165,37 @@ def main():
         "prefill_ms": round(t_prefill * 1e3, 1),
         "decode_ms_per_token": round(t_decode * 1e3, 3),
         "decode_tokens_per_s": round(toks_per_s, 1),
-    }))
+    }
+
+    if args.ab_full and budget < ctx:
+        # Full-cache control in the SAME process: budget=ctx makes the
+        # selection contain every page, i.e. dense paged decode (the
+        # reference's budget=102400 control, bench_efficiency_e2e.sh).
+        # Weights are shared; only the KV pool is duplicated.
+        for a in (engine.cache.kv_pages, engine.cache.k_max,
+                  engine.cache.k_min):
+            a.delete()              # make room for the control's pool
+        quest_full = dataclasses.replace(quest, token_budget=ctx)
+        engine2 = QuestEngine(cfg, quest_full, params,
+                              batch_size=args.batch,
+                              prefill_bucket=min(ctx, 2048),
+                              prefill_chunk=args.prefill_chunk)
+        engine2.prefill([p.tolist() for p in prompt])
+        tok = jnp.asarray(np.zeros((args.batch,), np.int32) + 7)
+        tok, engine2.cache = engine2._tok_fn(engine2.params,
+                                             engine2.cache, tok)
+        _ = np.asarray(tok)
+        t0 = time.perf_counter()
+        for _ in range(N):
+            tok, engine2.cache = engine2._tok_fn(engine2.params,
+                                                 engine2.cache, tok)
+        _ = np.asarray(tok)
+        t_full = (time.perf_counter() - t0) / N
+        result["full_cache_ms_per_token"] = round(t_full * 1e3, 3)
+        result["e2e_decode_speedup"] = round(t_full / t_decode, 2)
+        log(f"full-cache control: {t_full*1e3:.3f} ms/token -> "
+            f"e2e speedup {t_full / t_decode:.2f}x")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
