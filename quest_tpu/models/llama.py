@@ -271,8 +271,14 @@ class QuestModel:
         # Static layer slices of the stacked weights fuse into their
         # matmuls; kernels across layers share one compiled binary.
         L = cache.kv_pages.shape[0]
+        from quest_tpu.models.quantize import slice_layer
         for l in range(L):
-            lp = jax.tree_util.tree_map(lambda a: a[l], params["layers"])
+            # slice_layer, not a blanket tree_map: quantized leaves
+            # keep their packed q STACKED so qdot's hoisting barrier
+            # wraps the full parameter (a barrier on a pre-sliced
+            # operand copies the slice — 3x weight traffic, see qdot).
+            lp = {k: slice_layer(v, l)
+                  for k, v in params["layers"].items()}
             x, cache = self._layer(x, lp, cache, l,
                                    l >= quest.skip_layers, positions,
                                    is_prefill, new_lens)

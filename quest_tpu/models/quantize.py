@@ -33,6 +33,15 @@ class QuantizedLinear:
     # by inv_s [..., in] so the product is unchanged while salient
     # channels round with finer granularity. None = plain RTN.
     inv_s: Any = None
+    # STATIC layer index into a stacked ``q`` [L, in, out] (see
+    # slice_layer): qdot then barriers the STACKED tensor and slices
+    # AFTER — a barrier on a pre-sliced operand materializes the slice
+    # as an s8 HLO-temp copy, tripling weight HBM traffic (measured
+    # 254 vs 748-751 GB/s, exp/r4_chip/qdot_barrier_ab.log — the
+    # ~6.5 ms 8-layer decode-step 'base' of rounds 2-3). None = ``q``
+    # is already per-layer (e.g. lm_head).
+    layer: Any = dataclasses.field(default=None,
+                                   metadata=dict(static=True))
 
 
 QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
@@ -92,7 +101,16 @@ def qdot(x: jnp.ndarray, w, dtype=None) -> jnp.ndarray:
     # runtime OOM for 32-layer int4 models that statically fit with
     # >6 GB to spare. Tying the packed weights to x forces just-in-time
     # dequant and buffer reuse across layers.
+    #
+    # The barrier operand must be the FULL parameter, never a slice:
+    # barriering a pre-sliced per-layer tensor materializes the slice
+    # as an HLO-temp copy — 3x weight HBM traffic, measured 254 vs
+    # 748-751 GB/s (exp/r4_chip/qdot_barrier_ab.log). With a stacked
+    # ``q`` the static ``layer`` index slices AFTER the barrier; the
+    # slice then fuses into the matmul's operand read.
     wq, x = jax.lax.optimization_barrier((w.q, x))
+    if w.layer is not None:
+        wq = wq[w.layer]
     if w.inv_s is not None:
         x = x * w.inv_s.astype(x.dtype)
     if w.bits == 4:
@@ -101,6 +119,22 @@ def qdot(x: jnp.ndarray, w, dtype=None) -> jnp.ndarray:
         hi = ((wq >> 4).astype(jnp.float32) * w.s).astype(dtype)
         return x[..., :half] @ lo + x[..., half:] @ hi
     return x @ (wq.astype(jnp.float32) * w.s).astype(dtype)
+
+
+def slice_layer(v, l: int):
+    """Per-layer view of a stacked params leaf for the unrolled layer
+    loop (models/llama.py). Plain arrays slice eagerly; QuantizedLinear
+    keeps its packed ``q`` STACKED and records the static layer index —
+    qdot barriers the stacked tensor and slices after (see qdot)."""
+    if isinstance(v, QuantizedLinear):
+        return dataclasses.replace(
+            v, s=v.s[l],
+            inv_s=None if v.inv_s is None else v.inv_s[l],
+            layer=l)
+    if hasattr(v, "record_and_matmul"):   # AWQ calibration recorder:
+        # slice its stacked weight leaf, keep the recording aux.
+        return jax.tree_util.tree_map(lambda a: a[l], v)
+    return v[l]
 
 
 def init_params_quantized(cfg, key, bits: int = 8) -> Dict[str, Any]:
