@@ -189,7 +189,8 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
 @functools.partial(jax.jit, static_argnames=("sm_scale", "pages_per_block",
                                              "num_slots", "interpret",
                                              "layer", "per_q_head",
-                                             "block_pages", "num_sems"))
+                                             "block_pages", "num_sems",
+                                             "q_f32"))
 def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             seq_lens, *, sm_scale: float,
                             pages_per_block: int = 128,
@@ -199,7 +200,8 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             per_q_head: bool = False,
                             block_tab=None,
                             block_pages: int | None = None,
-                            num_sems: int = 1):
+                            num_sems: int = 1,
+                            q_f32: bool = False):
     """Decode attention over selected pages.
 
     Args:
@@ -260,11 +262,16 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
         S = S_pad
     nb = S // ppb
 
-    # Pad the GQA group axis to the bf16 sublane tile.
-    Gp = round_up(G, 16)
+    # Pad the GQA group axis to the query dtype's sublane tile.
+    # q_f32 keeps the query at f32 (8-row tile instead of bf16's 16):
+    # for MHA/small-G the per-block VPU softmax work over [Gp, cols]
+    # halves; the MXU reads a mixed f32 x bf16 operand pair (k is
+    # upcast in-register by the multi-pass f32 matmul).
+    Gp = round_up(G, 8 if q_f32 else 16)
     qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
-    qg = qg.astype(kv_pages.dtype)
+    if not q_f32:
+        qg = qg.astype(kv_pages.dtype)
 
     last_page = ((seq_lens - 1) // page).astype(jnp.int32)
     last_len = ((seq_lens - 1) % page + 1).astype(jnp.int32)
