@@ -189,26 +189,51 @@ def run_stage(stage: str, ctx: int, page: int):
             layer=0, block_tab=tab, block_pages=bpp))
 
     if stage == "main":
-        # Exact pipeline first (the headline), then the serving config,
-        # then the dense baseline — each emitted the moment it lands.
-        # "exact_fast" is verified-exact: approx_max_k + an exactness
-        # certificate with a lax.cond fallback to the full sort — same
-        # selected set as lax.top_k (ops/topk.py).
-        t = bench_op(make_sparse_step("exact_fast"), q, iters=iters,
-                     reps=reps, env=sparse_env())
-        emit({"unfused_us": t * 1e6})
-        t = bench_op(dense_step, q, iters=iters, reps=reps,
-                     env=(cache.kv_pages, btab))
-        emit({"dense_us": t * 1e6})
-        # Serving config: fp8 e4m3 metadata (halves the estimate's HBM
-        # traffic) + the fastest sound selection for the pool size —
-        # the SAME static rule ops/topk.py applies (serving_method):
-        # verified-exact where the certificate is reliable, approx +
-        # per-row repair beyond. Measured at 32K (exp/serving_probe.py):
-        # exact_fast+fp8 is both sounder AND faster than approx+fp8.
-        t = bench_op(make_sparse_step(serving_method(quest.max_pages, S)),
-                     q, iters=iters, reps=reps, env=sparse_env(f8))
-        emit({"serving_fp8_us": t * 1e6})
+        # Round-5 protocol: every quantity is the MEDIAN of R interleaved
+        # same-process repeats (bench_op calls), preceded by one discarded
+        # warm-up round that pins all compiles and the tunnel handshake.
+        # Round 4 measured each quantity once per session and the session
+        # band was 5.69-7.43x on an unchanged pipeline — a mediocre
+        # session became the official record (VERDICT r4 #1). Interleaving
+        # the sparse/dense/serving steps within each round makes session
+        # drift hit all sides of every ratio; the outer median rejects
+        # the residual outlier rounds. Steps:
+        #   unfused    = exact pipeline (the headline; "exact_fast" is
+        #                verified-exact: approx_max_k + an exactness
+        #                certificate with lax.cond fallback to the full
+        #                sort — same selected set as lax.top_k).
+        #   dense      = dense paged flash-decode baseline.
+        #   serving    = fp8 e4m3 metadata (halves the estimate's HBM
+        #                traffic) + the fastest sound selection for the
+        #                pool size (ops/topk.py:serving_method — the SAME
+        #                static rule the engine applies).
+        import statistics
+        R = int(os.environ.get("QUEST_BENCH_ROUNDS",
+                               "5" if on_tpu else "1"))
+        plan = [
+            ("unfused_us", make_sparse_step("exact_fast"), sparse_env()),
+            ("dense_us", dense_step, (cache.kv_pages, btab)),
+            ("serving_fp8_us",
+             make_sparse_step(serving_method(quest.max_pages, S)),
+             sparse_env(f8)),
+        ]
+        samples: dict[str, list] = {name: [] for name, _, _ in plan}
+        for r in range(R + 1):
+            for name, fn, env in plan:
+                t = bench_op(fn, q, iters=iters, reps=reps, env=env) * 1e6
+                if r == 0:
+                    log(f"warm-up {name}: {t:.1f} us (discarded)")
+                    continue
+                s = samples[name]
+                s.append(t)
+                # Running median: the parent keeps the LAST value per
+                # key, so the final emit per key is the full-R median.
+                emit({name: statistics.median(s),
+                      f"{name}_lo": min(s), f"{name}_hi": max(s),
+                      f"{name}_n": len(s)})
+            if r > 0:
+                log(f"round {r}/{R}: " + "  ".join(
+                    f"{n}={samples[n][-1]:.1f}us" for n, _, _ in plan))
 
     elif stage == "fused":
         # The fused decode megakernel (ops/fused_decode.py): estimate

@@ -137,6 +137,33 @@ class QuestConfig:
     # tokens per block: at most one partially-used block per sequence.
     block_pages: int = 64
 
+    def __post_init__(self):
+        # Refuse measured anti-configs at construction (VERDICT r4 #5):
+        # nothing downstream gates on dtype, so without this a user
+        # could reach the fused kernel with fp8 operands by accident.
+        meta = self.meta_dtype if self.meta_dtype is not None else self.kv_dtype
+        if self.fused_decode and jnp.dtype(meta).itemsize < 2:
+            raise ValueError(
+                "fused_decode=True with sub-bf16 (fp8) metadata is a "
+                "measured anti-config: the fused kernel's in-kernel "
+                "fp8->bf16 upcast of the metadata stream has no native "
+                "VPU path and runs ~2.6x SLOWER than bf16 metadata "
+                "(1303.8 vs 501.0 us at 128K, BENCH_r04.json; root "
+                "cause in docs/decode_pipeline_perf.md). Use the "
+                "unfused pipeline (fused_decode=False) with fp8 "
+                "metadata, or bf16 metadata with the fused kernel.")
+        if self.fused_decode and jnp.dtype(self.kv_dtype).itemsize < 2:
+            raise ValueError(
+                "fused_decode=True does not support fp8 KV pages (the "
+                "fused gather ring has no post-load upcast); use the "
+                "unfused pipeline, whose kernels upcast fp8 pages "
+                "after the DMA (ops/sparse_decode.py).")
+        if self.token_budget < self.page_size:
+            raise ValueError(
+                f"token_budget={self.token_budget} below one page "
+                f"({self.page_size}); the budget must cover at least "
+                "the always-kept current page.")
+
     @property
     def resolved_meta_dtype(self):
         return self.meta_dtype if self.meta_dtype is not None else self.kv_dtype

@@ -136,12 +136,21 @@ class QuestModel:
         # Fused path gates: per-KV-head selection; pool large enough to
         # stream in >= 2 lane-multiple blocks; budget small enough that
         # the whole-selection gather ring fits VMEM (ring = 2 slots x
-        # page_budget pages x 8 KB; 256 pages = 4 MB). Everything else
+        # page_budget pages x 8 KB; 256 pages = 4 MB). The shared-pool
+        # metadata stream additionally needs block_pages compatible
+        # with the 64-page lane quantum and the pool a >=2x multiple of
+        # max(64, block_pages) — mirrored from fused_decode's own
+        # constraints so an incompatible block_pages (e.g. 96) degrades
+        # here instead of tripping a trace-time assert. Everything else
         # falls back to the 3-call pipeline, which has no such limits.
+        bpp = cache.block_pages
+        fq = max(64, bpp)
         if (use_sparse and quest.fused_decode
                 and quest.selection == "per_kv_head"
                 and cache.max_pages >= 128
-                and cache.max_pages % 64 == 0
+                and (64 % bpp == 0 or bpp % 64 == 0)
+                and cache.max_pages % fq == 0
+                and cache.max_pages >= 2 * fq
                 and quest.page_budget <= 256):
             # select_group must divide the (possibly TP-sharded local)
             # KV-head count and be a power of two (butterfly band

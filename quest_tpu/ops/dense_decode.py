@@ -58,6 +58,9 @@ def _kernel(bp: int, page: int, seq_ref, q_ref, kv_ref, o_ref,
         kv = kv_ref[...].reshape(bp, 2, page, q.shape[-1])
         k = kv[:, 0].reshape(block_t, -1)
         v = kv[:, 1].reshape(block_t, -1)
+        if k.dtype != q.dtype:              # fp8 pool: upcast post-load
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         tok = j * block_t + jax.lax.broadcasted_iota(jnp.int32,
@@ -130,7 +133,10 @@ def dense_decode_attention(q, kv_pages, seq_lens, *, sm_scale: float,
     Gp = round_up(G, 16)
     qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
-    qg = qg.astype(kv_pages.dtype)
+    # fp8 pools keep the QUERY at bf16; k/v upcast post-load in-kernel.
+    qg = qg.astype(kv_pages.dtype
+                   if jnp.dtype(kv_pages.dtype).itemsize >= 2
+                   else jnp.bfloat16)
 
     if shared:
         def kv_index(b, h, j, seq_ref, btab_ref):

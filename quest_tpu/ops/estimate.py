@@ -92,7 +92,15 @@ def page_scores_physical(q: jnp.ndarray, k_max_l: jnp.ndarray,
       1. score every physical page once for the whole batch — two MXU
          matmuls over the contiguous ``[Hkv, NP, D]`` metadata (the
          same sign-split as :func:`page_scores`); the metadata HBM
-         stream is read ONCE regardless of batch size;
+         stream is read ONCE regardless of batch size. FLOP scaling
+         caveat: every batch element scores the WHOLE pool, so with a
+         full per-slot reservation (NP ~ B*P) the matmul flops grow as
+         ~B^2*P — at B=8/128K-ctx/GQA-8 that is ~2.2 GFLOP/step,
+         ~11 us of MXU time, still far below the gather stream, and
+         the alternative (per-slot gathered metadata) re-reads the
+         metadata stream B times; revisit only if serving batches grow
+         well past B~16 with full reservations (then: score only the
+         pool slab spanned by live block-table entries);
       2. gather each slot's logical scores through its block table — a
          tiny ``[B, H, P]`` f32 gather (256 KB at 32K/32 heads), three
          orders of magnitude below the metadata stream.

@@ -81,6 +81,9 @@ def _kernel(block_q: int, G: int, bpk: int, page: int, meta_ref, q_ref,
         kv = kv_ref[...].reshape(bpk, 2, page, q.shape[-1])
         k = kv[:, 0].reshape(block_k, -1)
         v = kv[:, 1].reshape(block_k, -1)
+        if k.dtype != q.dtype:                   # fp8 pool: upcast post-load
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if masked:
@@ -183,7 +186,10 @@ def prefill_attention(q, kv_pages, q_offsets, kv_lens, *,
     qt = (q.astype(jnp.float32) * sm_scale).transpose(0, 2, 1, 3)
     Tp = round_up(T, block_q)
     qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
-    qt = qt.astype(kv_pages.dtype)          # [B, Hq, Tp, D]
+    # fp8 pools keep the QUERY at bf16; k/v upcast post-load in-kernel.
+    qt = qt.astype(kv_pages.dtype
+                   if jnp.dtype(kv_pages.dtype).itemsize >= 2
+                   else jnp.bfloat16)        # [B, Hq, Tp, D]
     qt = qt.reshape(B, Hkv, G, Tp, D)
     if not shared and P % bpk != 0:
         pad = round_up(P, bpk) - P

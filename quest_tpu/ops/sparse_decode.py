@@ -58,8 +58,9 @@ from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
 def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
-            kvdiv: int, nsem: int, meta_ref, idx_ref, lastslot_ref,
-            q_ref, kv_hbm, o_ref, kv_buf, sems, m_scr, l_scr, acc_scr):
+            kvdiv: int, nsem: int, Gs: int, meta_ref, idx_ref,
+            lastslot_ref, q_ref, kv_hbm, o_ref, kv_buf, sems, m_scr,
+            l_scr, acc_scr):
     pps = ppb // nsem             # pages per semaphore stripe
     b = pl.program_id(0)
     t = pl.program_id(1)          # flattened (head, block) step
@@ -150,9 +151,13 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
         kv = kv_buf[slot]                        # [ppb, 2, page, D]
         k = kv[:, 0].reshape(ppb * page, -1)
         v = kv[:, 1].reshape(ppb * page, -1)
+        if k.dtype != q.dtype:                   # fp8 pool: upcast post-load
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)   # [Gp, ppb*page]
+        s = s[:Gs]      # f32-tile-aligned row slice: VPU work on Gs rows
 
         # Column validity as two scalar-range compares (see module
         # docstring): junk slots are a suffix of the slot axis, and the
@@ -168,29 +173,122 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
         mask = jnp.logical_and(
             mask, jnp.logical_not(jnp.logical_and(ci >= lo, ci < hi)))
         s = jnp.where(mask, s, MASK_VALUE)
-        m_prev = m_scr[...]                       # [Gp, 128] replicated
+        m_prev = m_scr[...]                       # [Gs, 128] replicated
         l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)  # [Gp, 1]
-        m_new = jnp.maximum(m_prev, m_cur)         # [Gp, 128]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [Gs, 1]
+        m_new = jnp.maximum(m_prev, m_cur)         # [Gs, 128]
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.where(mask, jnp.exp(s - m_new[:, :1]), 0.0)
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_new
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)    # [Gp, D]
+            preferred_element_type=jnp.float32)    # [Gs, D]
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     @pl.when(j == nb - 1)
     def _():
-        o_ref[0, 0] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
+        o_ref[0, 0, :Gs] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _kernel_1blk(S: int, page: int, layer: int | None, nslot: int,
+                 kvdiv: int, hb: int, Gs: int, meta_ref, idx_ref,
+                 lastslot_ref, q_ref, kv_hbm, o_ref, kv_buf, sems):
+    """Single-block fast path: the whole selection of ``hb`` heads is
+    gathered per grid step and softmax runs in ONE shot (no online
+    m/l/acc state, no per-block predicates). Round-5 redesign of the
+    headline geometry (nb == 1, i.e. pages_per_block >= S): the general
+    kernel's per-step fixed costs (scratch init, block predicates,
+    online-state updates over a [Gp, 128] replicated m/l) left it
+    compute-/overhead-bound at ~450 GB/s vs the ~700 GB/s raw gather
+    ceiling (exp/r4_chip/gather_ab.log). Two levers:
+      * ``hb`` heads per grid step — fewer, larger steps amortize the
+        per-step DMA-issue + wait + bookkeeping cost;
+      * VPU work runs on an f32-tile-aligned ``Gs``-row slice of the
+        score matrix (Gs = G rounded to 8) instead of the full
+        bf16-tile Gp=16 rows — for MHA (G=1) this halves every
+        elementwise op while the MXU still sees native bf16 operands.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)              # head-group step
+    B = pl.num_programs(0)
+    T = pl.num_programs(1)            # = H_sel // hb
+    shared = layer is not None
+    kv_hbm = kv_hbm if layer is None else kv_hbm.at[layer]
+
+    def start_copies(ff):
+        bb = ff // T
+        tt = ff % T
+        slot = ff % nslot
+        for e in range(hb):
+            hh = tt * hb + e
+            for i in range(S):
+                pid = idx_ref[bb, hh, i]
+                src = (kv_hbm.at[hh // kvdiv, pid] if shared
+                       else kv_hbm.at[bb, hh // kvdiv, pid])
+                pltpu.make_async_copy(src, kv_buf.at[slot, e, i],
+                                      sems.at[slot]).start()
+
+    def start_if_valid(ff):
+        @pl.when(ff // T < B)
+        def _():
+            start_copies(ff)
+
+    flat = b * T + t
+    # Prologue at the GLOBAL first step only (see _kernel: issuing any
+    # block twice would double-signal its slot semaphore).
+    @pl.when(flat == 0)
+    def _():
+        for d in range(nslot - 1):
+            start_if_valid(d)
+
+    start_if_valid(flat + nslot - 1)
+
+    slot = flat % nslot
+    # One byte-counted wait absorbs all hb*S page copies of the slot.
+    pltpu.make_async_copy(kv_buf.at[slot], kv_buf.at[slot],
+                          sems.at[slot]).wait()
+
+    num_valid = meta_ref[b, 0]
+    last_len = meta_ref[b, 2]
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, S * page), 1)
+    for e in range(hb):
+        h = t * hb + e
+        q = q_ref[0, e]                          # [Gp, D]
+        kv = kv_buf[slot, e]                     # [S, 2, page, D]
+        k = kv[:, 0].reshape(S * page, -1)
+        v = kv[:, 1].reshape(S * page, -1)
+        if k.dtype != q.dtype:                   # fp8 pool: upcast post-load
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # [Gp, S*page]
+        s = s[:Gs]                                # aligned f32 row slice
+        # Column validity (same contract as _kernel): junk slots are a
+        # suffix; the partially-filled page sits at slot ``ls``.
+        ls = lastslot_ref[b, h]
+        mask = ci < num_valid * page
+        lo = ls * page + last_len
+        hi = (ls + 1) * page
+        mask = jnp.logical_and(
+            mask, jnp.logical_not(jnp.logical_and(ci >= lo, ci < hi)))
+        s = jnp.where(mask, s, MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)     # [Gs, 1]
+        p = jnp.exp(s - m)                        # masked cols underflow to 0
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [Gs, D]
+        o_ref[0, e, :Gs] = (o / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "pages_per_block",
                                              "num_slots", "interpret",
                                              "layer", "per_q_head",
                                              "block_pages", "num_sems",
-                                             "q_f32"))
+                                             "q_f32", "heads_per_block",
+                                             "q_pad8"))
 def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             seq_lens, *, sm_scale: float,
                             pages_per_block: int = 128,
@@ -201,7 +299,9 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             block_tab=None,
                             block_pages: int | None = None,
                             num_sems: int = 1,
-                            q_f32: bool = False):
+                            q_f32: bool = False,
+                            heads_per_block: int = 0,
+                            q_pad8: bool = False):
     """Decode attention over selected pages.
 
     Args:
@@ -229,6 +329,11 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
         DMA-queue parallelism (128/6: 163 us at nsem=1 vs 148 at
         nsem=4, both behind 128/3/nsem=1; 64/6: 170 us at nsem=1,
         170 at nsem=2) — kept for probe reproducibility.
+      heads_per_block: heads gathered+computed per grid step on the
+        single-block fast path (``_kernel_1blk``; only reachable when
+        the whole selection fits one block, nb == 1). 0 = auto (2 when
+        the head count divides and the slot ring fits an 8 MB VMEM
+        budget, else 1). Ignored when nb > 1.
 
     Returns: [B, Hq, D] f32 attention output.
     """
@@ -264,14 +369,28 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
 
     # Pad the GQA group axis to the query dtype's sublane tile.
     # q_f32 keeps the query at f32 (8-row tile instead of bf16's 16):
-    # for MHA/small-G the per-block VPU softmax work over [Gp, cols]
-    # halves; the MXU reads a mixed f32 x bf16 operand pair (k is
-    # upcast in-register by the multi-pass f32 matmul).
-    Gp = round_up(G, 8 if q_f32 else 16)
+    # the MXU then reads a mixed f32 x bf16 operand pair (k is upcast
+    # in-register by the multi-pass f32 matmul). With the Gs row slice
+    # below, VPU work is 8-row either way; q_f32 only changes the MXU
+    # operand mix (kept as a probe flag).
+    # q_pad8 pads the group axis to 8 rows even in bf16 (a sub-tile
+    # [8, D] bf16 operand): the score matmul then computes only the 8
+    # rows the Gs slice keeps, instead of 16-and-discard-half.
+    Gp = round_up(G, 8 if (q_f32 or q_pad8) else 16)
+    # All VPU/softmax work runs on an f32-tile-aligned Gs-row slice of
+    # the [Gp, cols] score matrix (f32 vregs are 8 sublanes, so s[:Gs]
+    # is a free aligned slice): for MHA/small-G this halves every
+    # elementwise op vs operating on the full bf16-tile Gp=16 rows.
+    Gs = min(Gp, round_up(G, 8))
     qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
     if not q_f32:
-        qg = qg.astype(kv_pages.dtype)
+        # fp8 pools keep the QUERY at bf16 (casting q to the storage
+        # dtype would destroy its precision); k/v upcast post-load.
+        cdt = (kv_pages.dtype
+               if jnp.dtype(kv_pages.dtype).itemsize >= 2
+               else jnp.bfloat16)
+        qg = qg.astype(cdt)
 
     last_page = ((seq_lens - 1) // page).astype(jnp.int32)
     last_len = ((seq_lens - 1) % page + 1).astype(jnp.int32)
@@ -300,28 +419,55 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
                         indices // block_pages]
         indices = blk * block_pages + indices % block_pages
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(B, Hkv * nb),
-        in_specs=[
-            pl.BlockSpec((1, 1, Gp, D),
-                         lambda b, t, *_: (b, t // nb, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, 1, Gp, D),
-                               lambda b, t, *_: (b, t // nb, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((num_slots, ppb, 2, page, D), kv_pages.dtype),
-            pltpu.SemaphoreType.DMA((num_slots, nsem)),
-            pltpu.VMEM((Gp, 128), jnp.float32),
-            pltpu.VMEM((Gp, 128), jnp.float32),
-            pltpu.VMEM((Gp, D), jnp.float32),
-        ],
-    )
+    if nb == 1:
+        # Single-block fast path: whole selection per head per step.
+        # Auto = 1: the v5e A/B (exp/r5_fastpath_ab.py, page-32 32K)
+        # measured hb=2/4 within noise of hb=1 (49.1/45.1 vs 45.5 us)
+        # — per-step costs are already amortized at hb=1, so keep the
+        # smallest VMEM ring. hb > 1 remains available for probes.
+        hb = heads_per_block or 1
+        while Hkv % hb:
+            hb -= 1
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, Hkv // hb),
+            in_specs=[
+                pl.BlockSpec((1, hb, Gp, D), lambda b, t, *_: (b, t, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, hb, Gp, D),
+                                   lambda b, t, *_: (b, t, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((num_slots, hb, S, 2, page, D), kv_pages.dtype),
+                pltpu.SemaphoreType.DMA((num_slots,)),
+            ],
+        )
+        kern = functools.partial(_kernel_1blk, S, page, layer, num_slots,
+                                 kvdiv, hb, Gs)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, Hkv * nb),
+            in_specs=[
+                pl.BlockSpec((1, 1, Gp, D),
+                             lambda b, t, *_: (b, t // nb, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, Gp, D),
+                                   lambda b, t, *_: (b, t // nb, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((num_slots, ppb, 2, page, D), kv_pages.dtype),
+                pltpu.SemaphoreType.DMA((num_slots, nsem)),
+                pltpu.VMEM((Gs, 128), jnp.float32),
+                pltpu.VMEM((Gs, 128), jnp.float32),
+                pltpu.VMEM((Gs, D), jnp.float32),
+            ],
+        )
+        kern = functools.partial(_kernel, ppb, page, layer, nb, num_slots,
+                                 kvdiv, nsem, Gs)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, ppb, page, layer, nb, num_slots,
-                          kvdiv, nsem),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(

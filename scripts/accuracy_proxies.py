@@ -55,7 +55,8 @@ def structured_kv(rng, H, T, D, n_needles=8, needle_gain=3.0, rho=0.98):
         drift[:, t] = rho * drift[:, t - 1] + a * eta[:, t]
     k = 0.7 * drift + 0.5 * rng.standard_normal((H, T, D)).astype(np.float32)
     v = rng.standard_normal((H, T, D)).astype(np.float32)
-    needles = rng.choice(T - 64, size=n_needles, replace=False)
+    needles = (rng.choice(T - 64, size=n_needles, replace=False)
+               if n_needles else np.zeros((0,), np.int64))
     qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
     for pos in needles:
         k[:, pos] = needle_gain * qn + 0.2 * rng.standard_normal(
@@ -92,14 +93,33 @@ def main():
     sm = 1.0 / np.sqrt(D)
     rows = []
     sim_rows = []
-    # Two attention regimes: "diffuse" (needles ~3 sigma over an AR(1)
-    # background — mass spread over thousands of tokens; the hard case,
-    # where ANY budget-limited method must lose mass) and "peaked"
-    # (needles ~7 sigma — retrieval-style concentrated attention, the
-    # regime the paper's lossless claims live in, passkey/needle
-    # tasks).
+    gqa_rows = []
+    # Four attention regimes (VERDICT r4 #4: beyond peaked retrieval):
+    #   diffuse  needles ~3 sigma over an AR(1) background — mass
+    #            spread over thousands of tokens; the hard case, where
+    #            ANY budget-limited method must lose mass.
+    #   peaked   needles ~7 sigma — retrieval-style concentrated
+    #            attention, the regime the paper's lossless claims
+    #            live in (passkey/needle tasks).
+    #   flat     NO needles — pure AR(1) background, the flattest
+    #            LongBench-summarization-like score distribution.
+    #   multi    32 needles at ~4.5 sigma — multi-needle / multi-hop
+    #            retrieval (LongBench hotpotqa-like).
     REGIMES = {"diffuse": dict(needle_gain=3.0, rho=0.98),
-               "peaked": dict(needle_gain=7.0, rho=0.98)}
+               "peaked": dict(needle_gain=7.0, rho=0.98),
+               "flat": dict(n_needles=0, rho=0.98),
+               "multi": dict(n_needles=32, needle_gain=4.5, rho=0.98)}
+    # Dtype configs: production bf16, the fp8-metadata serving config,
+    # and the fp8-KV capacity config (data AND metadata fp8; metadata
+    # is folded from the STORED keys, exactly as append_decode_at does).
+    f8 = jnp.float8_e4m3fn
+
+    def cast(x, dt):
+        return np.asarray(jnp.asarray(x).astype(dt).astype(jnp.float32))
+
+    DTYPES = {"bf16": (jnp.bfloat16, jnp.bfloat16),
+              "fp8meta": (jnp.bfloat16, f8),
+              "fp8kv": (f8, f8)}
     for regime, rkw in REGIMES.items():
       for seed in range(args.seeds):
         rng = np.random.default_rng(100 + seed)
@@ -108,20 +128,16 @@ def main():
 
         for page in (16, 32):
             P = T // page
-            kp = k.reshape(H, P, page, D)
-            kmax = kp.max(axis=2)[None]            # [1, H, P, D]
-            kmin = kp.min(axis=2)[None]
             page_mass = p_full.reshape(H, P, page).sum(-1)   # [H, P]
             needle_pages = needles // page
             for budget in (512, 1024, 2048, 4096):
                 K = budget // page
-                for meta in ("f32", "fp8"):
-                    km, kn = kmax, kmin
-                    if meta == "fp8":
-                        km = np.asarray(jnp.asarray(kmax).astype(
-                            jnp.float8_e4m3fn).astype(jnp.float32))
-                        kn = np.asarray(jnp.asarray(kmin).astype(
-                            jnp.float8_e4m3fn).astype(jnp.float32))
+                for dtname, (kv_dt, meta_dt) in DTYPES.items():
+                    ks = cast(k, kv_dt)          # stored K (dequantized)
+                    vs = cast(v, kv_dt)
+                    kp = ks.reshape(H, P, page, D)
+                    km = cast(kp.max(axis=2), meta_dt)[None]
+                    kn = cast(kp.min(axis=2), meta_dt)[None]
                     scores = page_scores_per_qhead(
                         jnp.asarray(q[None]), jnp.asarray(km),
                         jnp.asarray(kn))            # [1, H, P]
@@ -137,29 +153,79 @@ def main():
                     # Random-selection floor: K/P of the mass in
                     # expectation (uniform over pages; last page incl.)
                     rand_cov = min(1.0, K / P)
-                    nrec = float(np.mean([sel[:, pg].mean()
-                                          for pg in needle_pages]))
+                    nrec = (float(np.mean([sel[:, pg].mean()
+                                           for pg in needle_pages]))
+                            if len(needle_pages) else 1.0)
                     oracle = np.argsort(-page_mass, axis=-1)[:, :K]
                     ov = np.mean([len(set(oracle[h]) & set(idx[h, :nv]))
                                   / K for h in range(H)])
-                    # Sparse output via masked softmax over selection.
+                    # Sparse output via masked softmax over the STORED
+                    # (possibly fp8-rounded) K/V, vs the f32 full-cache
+                    # ground truth — fp8kv errors include the data
+                    # quantization itself, so report the dense-fp8
+                    # error floor alongside for attribution.
                     keep = np.repeat(sel, page, axis=1)      # [H, T]
-                    s = np.einsum("hd,htd->ht", q, k) * sm
+                    s = np.einsum("hd,htd->ht", q, ks) * sm
+                    sd = s.copy()
                     s = np.where(keep, s, -1e30)
                     s -= s.max(axis=-1, keepdims=True)
                     p = np.exp(s)
                     p /= p.sum(axis=-1, keepdims=True)
-                    out = np.einsum("ht,htd->hd", p, v)
+                    out = np.einsum("ht,htd->hd", p, vs)
                     err = (np.linalg.norm(out - out_full)
                            / np.linalg.norm(out_full))
+                    sd -= sd.max(axis=-1, keepdims=True)
+                    pd = np.exp(sd)
+                    pd /= pd.sum(axis=-1, keepdims=True)
+                    outd = np.einsum("ht,htd->hd", pd, vs)
+                    derr = (np.linalg.norm(outd - out_full)
+                            / np.linalg.norm(out_full))
                     rows.append(dict(regime=regime, seed=seed,
                                      page=page, budget=budget,
-                                     meta=meta,
+                                     meta=dtname,
                                      mass_coverage=round(float(cov), 4),
                                      rand_coverage=round(rand_cov, 4),
                                      needle_recall=round(nrec, 4),
                                      oracle_overlap=round(float(ov), 4),
-                                     out_rel_err=round(float(err), 5)))
+                                     out_rel_err=round(float(err), 5),
+                                     dense_dtype_err=round(float(derr),
+                                                           5)))
+
+        # GQA geometry (VERDICT r4 #4): G query heads share one KV
+        # head; selection is per KV head with group_agg=sum (the
+        # engine default). Coverage is measured per QUERY head against
+        # its own full-attention mass — the quantity GQA sharing could
+        # hurt (one group-level page set serves G different queries).
+        for G in (4, 8):
+            Hkv = H  # reuse the H kv heads; make G queries per head
+            qg = np.stack([q + 0.35 * rng.standard_normal(
+                (H, D)).astype(np.float32) for _ in range(G)],
+                axis=1).reshape(H * G, D)        # [Hkv*G, D]
+            pg_full, _ = full_attention(
+                qg, np.repeat(k, G, axis=0), np.repeat(v, G, axis=0), sm)
+            for page in (16, 32):
+                P = T // page
+                kp = k.reshape(H, P, page, D)
+                km = jnp.asarray(kp.max(axis=2)[None])
+                kn = jnp.asarray(kp.min(axis=2)[None])
+                K = 2048 // page
+                from quest_tpu.ops.estimate import page_scores
+                sc = page_scores(jnp.asarray(qg[None]), km, kn,
+                                 group_agg="sum")      # [1, Hkv, P]
+                idx, nv = select_pages(sc, jnp.asarray([T], jnp.int32),
+                                       page, K)
+                idx = np.asarray(idx)[0]
+                nv = int(np.asarray(nv)[0])
+                mass = pg_full.reshape(H, G, P, page).sum(-1)  # [H,G,P]
+                sel = np.zeros((H, P), bool)
+                for h in range(H):
+                    sel[h, idx[h, :nv]] = True
+                cov = (mass * sel[:, None, :]).sum(-1).mean()
+                gqa_rows.append(dict(regime=regime, seed=seed, G=G,
+                                     page=page, budget=2048,
+                                     mass_coverage=round(float(cov), 4),
+                                     rand_coverage=round(
+                                         min(1.0, K / P), 4)))
 
         # Kernel path vs simulation path (reference algorithm) on the
         # SAME inputs: per-query-head selection, chunk = page = 16.
@@ -201,8 +267,56 @@ def main():
             out_rel_err_vs_sim=round(float(np.linalg.norm(out - sim_out)
                                      / np.linalg.norm(sim_out)), 5)))
 
+    # ------------------------------------------------------------------
+    # Passkey-style END-TASK proxy through the simulation path (VERDICT
+    # r4 #4): plant an 8-token "digit" (key aligned with the question
+    # query, value = one of 10 random codes) at a depth ratio, decode
+    # the question through quest_sim_attention with chunk 16 vs 32 at
+    # MATCHED token budget, and score retrieval = nearest-code match of
+    # the output. This is the protocol shape of the reference's passkey
+    # eval (`evaluation/passkey/passkey.py:68-97`) with the model
+    # replaced by a directly-checkable retrieval code.
+    from quest_tpu.evals.sim_attention import quest_sim_attention
+    passkey_rows = []
+    codes = np.random.default_rng(7).standard_normal((10, D)).astype(
+        np.float32)
+    codes /= np.linalg.norm(codes, axis=-1, keepdims=True)
+    DEPTHS = (0.05, 0.3, 0.5, 0.7, 0.95)
+    for chunk in (16, 32):
+        for budget in (1024, 2048):
+            n_ok = n_dense_ok = n_tot = 0
+            for seed in range(args.seeds):
+                for di, depth in enumerate(DEPTHS):
+                    rng = np.random.default_rng(1000 + seed * 31 + di)
+                    q, k, v, _ = structured_kv(rng, H, T, D, n_needles=0)
+                    digit = int(rng.integers(0, 10))
+                    pos = int(depth * (T - 64))
+                    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+                    for j in range(8):
+                        k[:, pos + j] = 6.0 * qn + 0.2 * rng.standard_normal(
+                            (H, D)).astype(np.float32)
+                        v[:, pos + j] = codes[digit]
+                    out = np.asarray(quest_sim_attention(
+                        jnp.asarray(q[None]), jnp.asarray(k[None]),
+                        jnp.asarray(v[None]), token_budget=budget,
+                        chunk_size=chunk, sm_scale=sm))[0]
+                    _, outd = full_attention(q, k, v, sm)
+                    for o, cnt in ((out, "sparse"), (outd, "dense")):
+                        got = int(np.argmax(
+                            codes @ o.mean(axis=0)))
+                        if cnt == "sparse":
+                            n_ok += got == digit
+                        else:
+                            n_dense_ok += got == digit
+                    n_tot += 1
+            passkey_rows.append(dict(
+                chunk=chunk, budget=budget, trials=n_tot,
+                retrieval_acc=round(n_ok / n_tot, 4),
+                dense_acc=round(n_dense_ok / n_tot, 4)))
+
     result = dict(ctx=T, heads=H, head_dim=D,
-                  config_rows=rows, kernel_vs_sim=sim_rows)
+                  config_rows=rows, kernel_vs_sim=sim_rows,
+                  gqa_rows=gqa_rows, passkey_rows=passkey_rows)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
@@ -225,6 +339,17 @@ def main():
     print("kernel vs sim:",
           [f"{r['regime']}: overlap={r['selection_overlap']:.3f} "
            f"err={r['out_rel_err_vs_sim']:.5f}" for r in sim_rows])
+    gagg = collections.defaultdict(list)
+    for r in gqa_rows:
+        gagg[(r["G"], r["page"])].append(r["mass_coverage"])
+    print("GQA per-kv-head selection coverage (budget 2048):",
+          {f"G={g},p{p}": round(float(np.mean(v)), 4)
+           for (g, p), v in sorted(gagg.items())})
+    print("passkey end-task proxy (sim path):")
+    for r in passkey_rows:
+        print(f"  chunk={r['chunk']:2d} budget={r['budget']:4d}  "
+              f"acc={r['retrieval_acc']:.3f} "
+              f"(dense {r['dense_acc']:.3f}, n={r['trials']})")
 
 
 if __name__ == "__main__":

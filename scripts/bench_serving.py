@@ -39,6 +39,15 @@ def main():
     ap.add_argument("--ab-rounds", type=int, default=3,
                     help="interleaved cached/uncached repeats for the "
                          "prefix-cache speedup ratio (medians)")
+    ap.add_argument("--page-size", type=int, default=16)
+    ap.add_argument("--block-pages", type=int, default=64,
+                    help="pool allocation granularity; prefix sharing "
+                         "is block-aligned, so block_pages*page_size "
+                         "tokens is the hit granularity")
+    ap.add_argument("--sweep", action="store_true",
+                    help="prefix-cache sweep (VERDICT r4 #7): share "
+                         "ratios {25,50,75,90%%} x prompt lengths "
+                         "{2K,8K}, one JSON line per cell")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -67,26 +76,26 @@ def main():
 
     cfg = dataclasses.replace(PRESETS[args.preset](),
                               num_layers=args.layers)
-    quest = QuestConfig(page_size=16, token_budget=args.token_budget,
-                        max_seq_len=args.max_seq_len)
+    quest = QuestConfig(page_size=args.page_size,
+                        token_budget=args.token_budget,
+                        max_seq_len=args.max_seq_len,
+                        block_pages=args.block_pages)
     params = init_params(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
 
-    shared = rng.integers(1, cfg.vocab_size,
-                          size=args.shared_prefix).tolist()
-
-    def make_reqs(n, uid0):
-        tail = args.prompt_len - args.shared_prefix
+    def make_reqs(n, uid0, prompt_len, shared_prefix, shared):
+        tail = prompt_len - shared_prefix
         return [Request(uid=uid0 + i,
                         prompt=shared + rng.integers(
                             1, cfg.vocab_size, size=tail).tolist(),
                         max_new_tokens=args.gen_len)
                 for i in range(n)]
 
-    def run_engine(prefix_entries):
+    def run_engine(prefix_entries, prompt_len, shared_prefix, shared,
+                   uid_base):
         engine = ContinuousBatchingEngine(
             cfg, quest, params, max_batch=args.max_batch,
-            prefill_bucket=min(args.prompt_len, 512),
+            prefill_bucket=min(prompt_len, 512),
             prefix_cache_entries=prefix_entries)
         # Warm-up: compiles prefill + decode shapes (and, in the
         # shared-prefix scenario, publishes the prefix — the timed run
@@ -98,51 +107,78 @@ def main():
         # slower purely from this: wall 14.89 s vs 6.42, of which one
         # ~8 s tail-shape prefill compile). Hit counters are reset so
         # the report covers the timed run only.
-        engine.run(make_reqs(args.max_batch, 10000))
-        if prefix_entries and args.shared_prefix:
-            engine.run(make_reqs(args.max_batch, 20000))
+        engine.run(make_reqs(args.max_batch, 10000, prompt_len,
+                             shared_prefix, shared))
+        if prefix_entries and shared_prefix:
+            engine.run(make_reqs(args.max_batch, 20000, prompt_len,
+                                 shared_prefix, shared))
         engine.prefix_hits = engine.prefix_hit_tokens = 0
-        reqs = make_reqs(args.requests, 0)
+        reqs = make_reqs(args.requests, uid_base, prompt_len,
+                         shared_prefix, shared)
         t0 = time.perf_counter()
         outs = engine.run(reqs)
         dt = time.perf_counter() - t0
         return dt, outs, engine
 
-    dt, outs, engine = run_engine(64)
-    total_tokens = sum(len(v) for v in outs.values())
-    result = {
-        "preset": args.preset, "layers": args.layers,
-        "max_batch": args.max_batch, "requests": args.requests,
-        "prompt_len": args.prompt_len, "gen_len": args.gen_len,
-        "shared_prefix": args.shared_prefix,
-        "wall_s": round(dt, 2),
-        "generated_tokens": total_tokens,
-        "tokens_per_s": round(total_tokens / dt, 1),
-        "requests_per_s": round(args.requests / dt, 2),
-        "prefix_hits": engine.prefix_hits,
-        "prefix_hit_tokens": engine.prefix_hit_tokens,
-    }
-    if args.shared_prefix:
-        # Interleaved repeats, ratio of medians: a single cached /
-        # uncached pair of ~seconds-long engine runs carries the
-        # tunnel's wall-clock variance (r4 measured the SAME binary at
-        # 6.42 and 6.95 s uncached minutes apart), which can exceed the
-        # caching effect itself at modest shared fractions.
-        cached = [dt]
-        uncached = []
-        for _ in range(args.ab_rounds):
-            dt0, _, _ = run_engine(0)
-            uncached.append(dt0)
-            dtc, _, _ = run_engine(64)
-            cached.append(dtc)
-        med = sorted(cached)[len(cached) // 2]
-        med0 = sorted(uncached)[len(uncached) // 2]
-        result["wall_s_cached_runs"] = [round(x, 2) for x in cached]
-        result["wall_s_no_prefix_cache_runs"] = [round(x, 2)
-                                                 for x in uncached]
-        result["wall_s_no_prefix_cache"] = round(med0, 2)
-        result["prefix_cache_speedup"] = round(med0 / med, 2)
-    print(json.dumps(result))
+    def run_cell(prompt_len, shared_prefix):
+        shared = rng.integers(1, cfg.vocab_size,
+                              size=shared_prefix).tolist()
+        dt, outs, engine = run_engine(64, prompt_len, shared_prefix,
+                                      shared, 0)
+        total_tokens = sum(len(v) for v in outs.values())
+        block_tokens = args.block_pages * args.page_size
+        result = {
+            "preset": args.preset, "layers": args.layers,
+            "max_batch": args.max_batch, "requests": args.requests,
+            "prompt_len": prompt_len, "gen_len": args.gen_len,
+            "shared_prefix": shared_prefix,
+            "shared_blocks": shared_prefix // block_tokens,
+            "block_tokens": block_tokens,
+            "wall_s": round(dt, 2),
+            "generated_tokens": total_tokens,
+            "tokens_per_s": round(total_tokens / dt, 1),
+            "requests_per_s": round(args.requests / dt, 2),
+            "prefix_hits": engine.prefix_hits,
+            "prefix_hit_tokens": engine.prefix_hit_tokens,
+        }
+        if shared_prefix:
+            # Interleaved repeats, ratio of medians: a single cached /
+            # uncached pair of ~seconds-long engine runs carries the
+            # tunnel's wall-clock variance (r4 measured the SAME binary
+            # at 6.42 and 6.95 s uncached minutes apart), which can
+            # exceed the caching effect at modest shared fractions.
+            cached = [dt]
+            uncached = []
+            for _ in range(args.ab_rounds):
+                dt0, _, _ = run_engine(0, prompt_len, shared_prefix,
+                                       shared, 0)
+                uncached.append(dt0)
+                dtc, _, _ = run_engine(64, prompt_len, shared_prefix,
+                                       shared, 0)
+                cached.append(dtc)
+            med = sorted(cached)[len(cached) // 2]
+            med0 = sorted(uncached)[len(uncached) // 2]
+            result["wall_s_cached_runs"] = [round(x, 2) for x in cached]
+            result["wall_s_no_prefix_cache_runs"] = [round(x, 2)
+                                                     for x in uncached]
+            result["wall_s_no_prefix_cache"] = round(med0, 2)
+            result["prefix_cache_speedup"] = round(med0 / med, 2)
+        return result
+
+    if args.sweep:
+        # VERDICT r4 #7: where does prefix caching pay? Share ratios x
+        # prompt lengths; hits are block-aligned (block_tokens
+        # granularity), so low-share short prompts round down to zero
+        # shared blocks — the sweep shows that edge explicitly.
+        for prompt_len in (2048, 8192):
+            if prompt_len + args.gen_len > args.max_seq_len:
+                continue
+            for ratio in (0.25, 0.5, 0.75, 0.9):
+                print(json.dumps(run_cell(prompt_len,
+                                          int(prompt_len * ratio))),
+                      flush=True)
+    else:
+        print(json.dumps(run_cell(args.prompt_len, args.shared_prefix)))
 
 
 if __name__ == "__main__":

@@ -102,6 +102,83 @@ def test_dense_decode_matches_oracle(seq_lens, Hq, Hkv, D, block_t):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("seq_lens,page,budget,Hq,Hkv,D,hb,nslot,kvdt", [
+    # Single-block fast path (pages_per_block >= budget -> nb == 1,
+    # ops/sparse_decode.py:_kernel_1blk), incl. multi-head blocks and
+    # fp8 pool storage (k/v upcast post-load; q stays >= bf16).
+    ([63], 16, 4, 4, 4, 64, 0, 3, np.float32),     # MHA, auto hb
+    ([129, 47], 16, 4, 4, 4, 64, 2, 3, np.float32),  # hb=2, batch 2
+    ([257], 16, 8, 8, 2, 64, 2, 2, np.float32),    # GQA group 4, hb=2
+    ([95, 200, 33], 8, 6, 2, 2, 128, 1, 2, np.float32),  # hb=1, batch 3
+    ([500], 4, 7, 3, 3, 64, 1, 3, np.float32),     # odd head count
+    ([129, 47], 16, 4, 4, 4, 64, 2, 3, jnp.float8_e4m3fn),  # fp8 pool
+])
+def test_sparse_decode_single_block_fast_path(seq_lens, page, budget, Hq,
+                                              Hkv, D, hb, nslot, kvdt):
+    rng = np.random.default_rng(hash((tuple(seq_lens), page, budget, hb,
+                                      str(kvdt))) % 2**31)
+    B = len(seq_lens)
+    P = max((s + page - 1) // page for s in seq_lens) + 2
+    kv_pages, _, _ = make_packed(rng, B, Hkv, P, page, D)
+    kv_pages = kv_pages.astype(kvdt)
+    # Oracle sees the SAME (possibly fp8-rounded) stored values.
+    k_pages = kv_pages[:, :, :, 0].astype(jnp.float32)
+    v_pages = kv_pages[:, :, :, 1].astype(jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    seq = jnp.asarray(np.array(seq_lens, np.int32))
+    sm = 1.0 / np.sqrt(D)
+
+    scores = jnp.asarray(rng.standard_normal((B, Hkv, P)).astype(np.float32))
+    idx, num_valid = select_pages(scores, seq, page, budget)
+
+    want = sparse_decode_attention_reference(q, k_pages, v_pages, idx,
+                                             num_valid, seq, sm)
+    got = sparse_decode_attention(q, kv_pages, idx, num_valid, seq,
+                                  sm_scale=sm, num_slots=nslot,
+                                  heads_per_block=hb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=4e-3, atol=4e-3)
+
+
+def test_dense_and_prefill_fp8_pool():
+    """fp8 KV pages through the dense-decode and prefill kernels: the
+    query stays bf16 (itemsize guard) and k/v upcast post-load; checked
+    against f32 oracles over the SAME fp8-rounded stored values."""
+    from quest_tpu.ops.reference import prefill_attention_reference
+    rng = np.random.default_rng(5)
+    B, Hq, Hkv, D, page = 2, 4, 2, 64, 16
+    seq_lens = [63, 129]
+    T = max(seq_lens)
+    k = rng.standard_normal((B, Hkv, T + 15, D)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, T + 15, D)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    seq = jnp.asarray(np.array(seq_lens, np.int32))
+    sm = 1.0 / np.sqrt(D)
+    packed = flat_to_packed(jnp.asarray(k), jnp.asarray(v), page)
+    packed8 = packed.astype(jnp.float8_e4m3fn)
+    k8 = np.asarray(packed8[:, :, :, 0].astype(jnp.float32))
+    v8 = np.asarray(packed8[:, :, :, 1].astype(jnp.float32))
+    kf = k8.reshape(B, Hkv, -1, D)
+    vf = v8.reshape(B, Hkv, -1, D)
+
+    want = dense_decode_attention_reference(q, jnp.asarray(kf),
+                                            jnp.asarray(vf), seq, sm)
+    got = dense_decode_attention(q, packed8, seq, sm_scale=sm, block_t=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=4e-3, atol=4e-3)
+
+    # Prefill: fresh queries over the fp8 cache (offsets 0).
+    Tq = 32
+    qp = jnp.asarray(rng.standard_normal((B, Tq, Hq, D)).astype(np.float32))
+    off = jnp.zeros((B,), jnp.int32)
+    want_p = prefill_attention_reference(qp, jnp.asarray(kf),
+                                         jnp.asarray(vf), off, seq, sm)
+    got_p = prefill_attention(qp, packed8, off, seq, sm_scale=sm,
+                              block_q=16, block_k=32)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=4e-3, atol=4e-3)
+
+
 def test_sparse_decode_without_last_page():
     """Hand-injected selections that EXCLUDE the current page (the
     kernel's lastslot=-1 path: no partial-fill masking applies) and
