@@ -73,21 +73,40 @@ def init_params(cfg: ModelConfig, key: jax.Array,
         return (jax.random.normal(k, shape, jnp.float32)
                 / math.sqrt(fan_in)).astype(dtype)
 
+    def stacked(name, k, per_shape, fan_in):
+        """[L, *per_shape] stacked weight, wrapped per LAYER under jit.
+
+        With a quantizing wrap the live transient is one LAYER's f32
+        tensor (fused normal->scale->quantize program), not the whole
+        stack: the r5 32-layer e2e OOM'd at init because the eager
+        stacked chain held [L, hid, inter] f32 TWICE (normal + the
+        division result, ~15 GB at L=32) before quantization ever ran.
+        Without a wrap, one fused jit builds the stack directly.
+        """
+        if linear_wrap is None:
+            return norm_init(k, (L,) + per_shape, fan_in)
+        mk = jax.jit(lambda kk: lw(name, norm_init(kk, per_shape,
+                                                   fan_in)))
+        ws = [mk(kk) for kk in jax.random.split(k, L)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *ws)
+
     params = {
-        "embed": norm_init(ks[0], (V, hid), 1.0) * 0.02,
+        "embed": jax.jit(
+            lambda kk: norm_init(kk, (V, hid), 1.0) * 0.02)(ks[0]),
         "layers": {
-            "wq": lw("wq", norm_init(ks[1], (L, hid, H * D), hid)),
-            "wk": lw("wk", norm_init(ks[2], (L, hid, Hkv * D), hid)),
-            "wv": lw("wv", norm_init(ks[3], (L, hid, Hkv * D), hid)),
-            "wo": lw("wo", norm_init(ks[4], (L, H * D, hid), H * D)),
-            "w_gate": lw("w_gate", norm_init(ks[5], (L, hid, inter), hid)),
-            "w_up": lw("w_up", norm_init(ks[6], (L, hid, inter), hid)),
-            "w_down": lw("w_down", norm_init(ks[7], (L, inter, hid), inter)),
+            "wq": stacked("wq", ks[1], (hid, H * D), hid),
+            "wk": stacked("wk", ks[2], (hid, Hkv * D), hid),
+            "wv": stacked("wv", ks[3], (hid, Hkv * D), hid),
+            "wo": stacked("wo", ks[4], (H * D, hid), H * D),
+            "w_gate": stacked("w_gate", ks[5], (hid, inter), hid),
+            "w_up": stacked("w_up", ks[6], (hid, inter), hid),
+            "w_down": stacked("w_down", ks[7], (inter, hid), inter),
             "ln_attn": jnp.ones((L, hid), dtype),
             "ln_mlp": jnp.ones((L, hid), dtype),
         },
         "final_norm": jnp.ones((hid,), dtype),
-        "lm_head": lw("lm_head", norm_init(ks[8], (hid, V), hid)),
+        "lm_head": jax.jit(
+            lambda kk: lw("lm_head", norm_init(kk, (hid, V), hid)))(ks[8]),
     }
     return params
 
