@@ -385,15 +385,27 @@ def append_decode_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
     # Data token rows [B, Hkv, 2, D].
     tok = jnp.stack([kq, vq], axis=2)                     # [B, Hkv, 2, D]
 
-    # Metadata (physical-page-keyed): batched gather -> fold -> scatter
-    # at the same (block, page) the data write targets. Inactive rows
-    # read and write scratch-block rows (a value-preserving no-op).
-    # Index-form note: `kmax[layer][:, blk, off]` has ADJACENT advanced
-    # indices -> [Hkv, B, D]; the scatter `at[layer, :, blk, off]` has
-    # them SEPARATED by the slice (the scalar layer counts) -> batch
-    # dims in FRONT, so set values are [B, Hkv, D].
-    old_max = jnp.swapaxes(kmax[layer][:, blk, off], 0, 1)  # [B, H, D]
-    old_min = jnp.swapaxes(kmin[layer][:, blk, off], 0, 1)
+    # Metadata (physical-page-keyed): per-slot dynamic_slice -> fold ->
+    # per-slot dynamic_update_slice at the same (block, page) the data
+    # write targets. Inactive rows read and write scratch-block rows (a
+    # value-preserving no-op). Round-5 change: this was an advanced-
+    # index gather (`kmax[layer][:, blk, off]`), which lowers to an
+    # XLA gather along the minor axes — the known-pathological form on
+    # TPU (exp/r4_chip/physpipe_probe.log: 350-400 us for a 139 KB
+    # gather); the per-slot dynamic_slice chain is the DUS-dual of the
+    # write chain below and costs B tiny slices.
+    lz = jnp.int32(layer)
+    z = jnp.int32(0)
+    Hd = kmax.shape[1]
+    Dd = kmax.shape[-1]
+
+    def _read(arr, b):
+        sl = jax.lax.dynamic_slice(arr, (lz, z, blk[b], off[b], z),
+                                   (1, Hd, 1, 1, Dd))
+        return sl[0, :, 0, 0]                        # [H, D]
+
+    old_max = jnp.stack([_read(kmax, b) for b in range(B)])  # [B, H, D]
+    old_min = jnp.stack([_read(kmin, b) for b in range(B)])
     old_max = old_max.astype(jnp.float32)
     old_min = old_min.astype(jnp.float32)
     kf = kq.astype(jnp.float32)                              # [B, H, D]
@@ -418,8 +430,6 @@ def append_decode_at(cache: PagedKVCache, layer: int, k_new: jnp.ndarray,
     # batches (B <= 8); re-evaluate for much larger B.
     new_max = new_max.astype(kmax.dtype)
     new_min = new_min.astype(kmin.dtype)
-    lz = jnp.int32(layer)
-    z = jnp.int32(0)
     for b in range(B):
         kv = jax.lax.dynamic_update_slice(
             kv, tok[b][None, :, None, :, None, :],

@@ -378,6 +378,27 @@ class QuestModel:
         logits, cache = self.decode_step(params, cache, tokens, active)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
+    def decode_token_burst(self, params: Params, cache: PagedKVCache,
+                           tokens: jnp.ndarray, n: int,
+                           active: jnp.ndarray | None = None):
+        """``n`` greedy decode steps in ONE dispatch: tokens [B] ->
+        (all_tokens [B, n], cache). ``n`` is static (unrolled — a
+        lax.scan/fori carry of the cache gets copied every iteration,
+        the round-1 38 ms/token failure mode; unrolled steps keep the
+        pool in-place under donation).
+
+        Rationale (exp/r5_chip/b1_floor.json): at batch 1 the host
+        dispatch+append overhead of the per-token loop is ~1.2 ms/token
+        against a 5.5 ms device step — an n-step burst amortizes it n-
+        fold. Cost: program size scales with n*L (compile time), and
+        generation length must be a multiple of n (callers round)."""
+        outs = []
+        for _ in range(n):
+            tokens, cache = self.decode_token_step(params, cache,
+                                                   tokens, active)
+            outs.append(tokens)
+        return jnp.stack(outs, axis=1), cache
+
     def decode_nll_step(self, params: Params, cache: PagedKVCache,
                         tokens: jnp.ndarray, targets: jnp.ndarray,
                         active: jnp.ndarray | None = None):

@@ -29,15 +29,15 @@ from jax.experimental.pallas import tpu as pltpu
 from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
-def _kernel_shared(bp: int, page: int, seq_ref, btab_ref, q_ref, kv_ref,
-                   o_ref, m_scr, l_scr, acc_scr):
+def _kernel_shared(bp: int, page: int, Gs: int, seq_ref, btab_ref,
+                   q_ref, kv_ref, o_ref, m_scr, l_scr, acc_scr):
     # Shared-pool mode: the block table is consumed by the index map
     # only; the compute body is identical.
-    _kernel(bp, page, seq_ref, q_ref, kv_ref, o_ref, m_scr, l_scr,
+    _kernel(bp, page, Gs, seq_ref, q_ref, kv_ref, o_ref, m_scr, l_scr,
             acc_scr)
 
 
-def _kernel(bp: int, page: int, seq_ref, q_ref, kv_ref, o_ref,
+def _kernel(bp: int, page: int, Gs: int, seq_ref, q_ref, kv_ref, o_ref,
             m_scr, l_scr, acc_scr):
     b = pl.program_id(0)
     j = pl.program_id(2)
@@ -63,6 +63,7 @@ def _kernel(bp: int, page: int, seq_ref, q_ref, kv_ref, o_ref,
             v = v.astype(q.dtype)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        s = s[:Gs]   # f32-tile-aligned row slice: VPU work on Gs rows
         tok = j * block_t + jax.lax.broadcasted_iota(jnp.int32,
                                                      (1, block_t), 1)
         mask = tok < seq_len
@@ -82,7 +83,7 @@ def _kernel(bp: int, page: int, seq_ref, q_ref, kv_ref, o_ref,
 
     @pl.when(j == nb - 1)
     def _():
-        o_ref[0, 0] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
+        o_ref[0, 0, :Gs] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_t",
@@ -131,6 +132,11 @@ def dense_decode_attention(q, kv_pages, seq_lens, *, sm_scale: float,
     nb = P // bp
 
     Gp = round_up(G, 16)
+    # VPU/softmax work runs on an f32-tile-aligned Gs-row slice of the
+    # [Gp, cols] score matrix (same change as sparse_decode round 5:
+    # at G<=8 this halves every elementwise op; measured 0.72 ->
+    # ~0.45 ms/layer at 128K GQA-4, exp/r5_chip/b1_floor*.json).
+    Gs = min(Gp, round_up(G, 8))
     qg = (q.astype(jnp.float32) * sm_scale).reshape(B, Hkv, G, D)
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
     # fp8 pools keep the QUERY at bf16; k/v upcast post-load in-kernel.
@@ -165,14 +171,15 @@ def dense_decode_attention(q, kv_pages, seq_lens, *, sm_scale: float,
         ],
         out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, *_: (b, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Gp, 128), jnp.float32),
-            pltpu.VMEM((Gp, 128), jnp.float32),
-            pltpu.VMEM((Gp, D), jnp.float32),
+            pltpu.VMEM((Gs, 128), jnp.float32),
+            pltpu.VMEM((Gs, 128), jnp.float32),
+            pltpu.VMEM((Gs, D), jnp.float32),
         ],
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel_shared if shared else _kernel, bp, page),
+        functools.partial(_kernel_shared if shared else _kernel, bp,
+                          page, Gs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
         interpret=interpret,

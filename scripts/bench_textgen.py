@@ -64,6 +64,10 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="decode through the fused megakernel "
                          "(ops/fused_decode.py)")
+    ap.add_argument("--burst", type=int, default=1,
+                    help="decode steps per dispatch (decode_token_burst;"
+                         " amortizes ~1.2 ms/token of host dispatch at "
+                         "batch 1; program size scales with burst*layers)")
     ap.add_argument("--prefill-chunk", type=int, default=8192,
                     help="max prompt tokens per prefill call (bounds "
                     "activation temporaries; 32-layer models at 16K "
@@ -142,13 +146,36 @@ def main():
     # Decode: pipeline of async donated dispatches (no per-step host
     # sync; a per-token fetch costs ~ms through remote dispatch). One
     # warm-up step compiles; fetch at the end forces real completion.
+    # --burst n packs n steps into each dispatch (decode_token_burst).
+    import functools
+
+    nb = max(1, args.burst)
+
+    def make_loop(eng):
+        if nb == 1:
+            def loop(tok, steps):
+                for _ in range(steps):
+                    tok, eng.cache = eng._tok_fn(eng.params, eng.cache,
+                                                 tok)
+                return tok
+            return loop
+        bf = jax.jit(functools.partial(eng.model.decode_token_burst,
+                                       n=nb), donate_argnums=(1,))
+
+        def loop(tok, steps):
+            for _ in range(-(-steps // nb)):
+                toks, eng.cache = bf(eng.params, eng.cache, tok)
+                tok = toks[:, -1]
+            return tok
+        return loop
+
     tok = jnp.asarray(np.argmax(logits, axis=-1).astype(np.int32))
-    N = args.decode_tokens
-    tok, engine.cache = engine._tok_fn(engine.params, engine.cache, tok)
+    N = -(-args.decode_tokens // nb) * nb
+    loop = make_loop(engine)
+    tok = loop(tok, nb)              # warm-up: compiles the burst
     _ = np.asarray(tok)
     t0 = time.perf_counter()
-    for _ in range(N):
-        tok, engine.cache = engine._tok_fn(engine.params, engine.cache, tok)
+    tok = loop(tok, N)
     _ = np.asarray(tok)  # host fetch forces real completion
     t_decode = (time.perf_counter() - t0) / N
     toks_per_s = args.batch / t_decode
@@ -182,13 +209,11 @@ def main():
                               prefill_chunk=args.prefill_chunk)
         engine2.prefill([p.tolist() for p in prompt])
         tok = jnp.asarray(np.zeros((args.batch,), np.int32) + 7)
-        tok, engine2.cache = engine2._tok_fn(engine2.params,
-                                             engine2.cache, tok)
+        loop2 = make_loop(engine2)           # same burst depth: fair A/B
+        tok = loop2(tok, nb)
         _ = np.asarray(tok)
         t0 = time.perf_counter()
-        for _ in range(N):
-            tok, engine2.cache = engine2._tok_fn(engine2.params,
-                                                 engine2.cache, tok)
+        tok = loop2(tok, N)
         _ = np.asarray(tok)
         t_full = (time.perf_counter() - t0) / N
         result["full_cache_ms_per_token"] = round(t_full * 1e3, 3)
