@@ -210,6 +210,23 @@ def run_stage(stage: str, ctx: int, page: int):
         import statistics
         R = int(os.environ.get("QUEST_BENCH_ROUNDS",
                                "5" if on_tpu else "1"))
+        # Physical speed-of-light floors (v5e HBM ~819 GB/s): any slope
+        # reading below 0.65x the bytes-moved floor is a MEASUREMENT
+        # artifact, not a fast kernel — bench_op's paired lo/hi slopes
+        # collapse toward zero when a tunnel latency-regime shift makes
+        # both trip counts latency-dominated (run-2 of r5 recorded a
+        # 130 us p16 pipeline at 4.1-30.6 us for three consecutive
+        # rounds, 26x "speedup"). Such samples are discarded and the
+        # round retried (up to 3 extra rounds); a quantity that cannot
+        # collect R sane samples reports the median of what it has.
+        HBM = 819e3  # bytes/us
+        data_b = 2 * Hkv * BUDGET * D * 2
+        meta_b = lambda bpe: 2 * Hkv * (ctx // page) * D * bpe  # noqa: E731
+        FLOORS = {
+            "unfused_us": (data_b + meta_b(2)) / HBM,
+            "dense_us": (2 * Hkv * ctx * D * 2) / HBM,
+            "serving_fp8_us": (data_b + meta_b(1)) / HBM,
+        }
         plan = [
             ("unfused_us", make_sparse_step("exact_fast"), sparse_env()),
             ("dense_us", dense_step, (cache.kv_pages, btab)),
@@ -218,11 +235,21 @@ def run_stage(stage: str, ctx: int, page: int):
              sparse_env(f8)),
         ]
         samples: dict[str, list] = {name: [] for name, _, _ in plan}
-        for r in range(R + 1):
+        r = 0
+        attempts = 0
+        while r <= R and attempts < R + 4:
+            attempts += 1
+            ok_round = True
             for name, fn, env in plan:
                 t = bench_op(fn, q, iters=iters, reps=reps, env=env) * 1e6
                 if r == 0:
                     log(f"warm-up {name}: {t:.1f} us (discarded)")
+                    continue
+                if on_tpu and t < 0.65 * FLOORS[name]:
+                    log(f"DISCARD {name}={t:.1f}us < 0.65*floor "
+                        f"{FLOORS[name]:.1f}us (physically impossible; "
+                        "tunnel slope collapse)")
+                    ok_round = False
                     continue
                 s = samples[name]
                 s.append(t)
@@ -232,8 +259,11 @@ def run_stage(stage: str, ctx: int, page: int):
                       f"{name}_lo": min(s), f"{name}_hi": max(s),
                       f"{name}_n": len(s)})
             if r > 0:
-                log(f"round {r}/{R}: " + "  ".join(
-                    f"{n}={samples[n][-1]:.1f}us" for n, _, _ in plan))
+                log(f"round {r}/{R} (attempt {attempts}): " + "  ".join(
+                    f"{n}={samples[n][-1]:.1f}us" for n, _, _ in plan
+                    if samples[n]))
+            if r == 0 or ok_round:
+                r += 1
 
     elif stage == "fused":
         # The fused decode megakernel (ops/fused_decode.py): estimate
@@ -376,6 +406,23 @@ def main():
                 return raw[num_key] / raw[den_key]
             return None
 
+        def sane(key, ctx, page, bpe_meta=2):
+            # Physical floor (second belt over the child-level guard):
+            # a sparse-pipeline median below 0.65x speed-of-light bytes
+            # is a measurement artifact and must not become a
+            # candidate (see run_stage's FLOORS comment).
+            v = raw.get(key)
+            if not v:
+                return False
+            Hkv, D, BUD = 32, 128, 2048
+            fl = (2 * Hkv * BUD * D * 2
+                  + 2 * Hkv * (ctx // page) * D * bpe_meta) / 819e3
+            if v < 0.65 * fl:
+                log(f"headline: ignoring {key}={v:.1f}us "
+                    f"(< 0.65*floor {fl:.1f}us)")
+                return False
+            return True
+
         result = {"metric": "self_attention_speedup_32k_budget2048",
                   "value": 0.0, "unit": "x", "vs_baseline": 0.0}
         # Exact-semantics candidates at 32K: page 16 (the reference
@@ -388,6 +435,7 @@ def main():
                  (("unfused_us_32k", "dense_main_us_32k", 16),
                   ("unfused_us_32k_p32", "dense_main_us_32k_p32", 32),
                   ("fused_us_32k", "dense_fused_us_32k", 16))
+                 if sane(k, 32768, pg)
                  for r in [ratio(d, k)] if r]
         if cands:
             sp, t_sparse, t_dense, pg = max(cands)
@@ -396,22 +444,27 @@ def main():
                           dense_us_32k=round(t_dense, 1),
                           sparse_us_32k=round(t_sparse, 1),
                           page_size_32k=pg)
-            p16 = ratio("dense_main_us_32k", "unfused_us_32k")
-            if p16:
-                result["speedup_32k_page16"] = round(p16, 3)
-        sv = [r for k in ("serving_fp8_us_32k", "serving_fp8_us_32k_p32")
+            if sane("unfused_us_32k", 32768, 16):
+                p16 = ratio("dense_main_us_32k", "unfused_us_32k")
+                if p16:
+                    result["speedup_32k_page16"] = round(p16, 3)
+        sv = [r for k, pg in (("serving_fp8_us_32k", 16),
+                              ("serving_fp8_us_32k_p32", 32))
+              if sane(k, 32768, pg, bpe_meta=1)
               for r in [ratio(f"dense_main_us_32k{k[18:]}", k)] if r]
         if sv:
             result["speedup_32k_serving_cfg"] = round(max(sv), 3)
-        ex128 = [r for k, d in
-                 (("unfused_us_128k", "dense_main_us_128k"),
-                  ("unfused_us_128k_p32", "dense_main_us_128k_p32"),
-                  ("fused_us_128k", "dense_fused_us_128k"))
+        ex128 = [r for k, d, pg in
+                 (("unfused_us_128k", "dense_main_us_128k", 16),
+                  ("unfused_us_128k_p32", "dense_main_us_128k_p32", 32),
+                  ("fused_us_128k", "dense_fused_us_128k", 16))
+                 if sane(k, 131072, pg)
                  for r in [ratio(d, k)] if r]
         if ex128:
             result["speedup_128k_budget2048"] = round(max(ex128), 3)
-        sv128 = [r for k in ("serving_fp8_us_128k",
-                             "serving_fp8_us_128k_p32")
+        sv128 = [r for k, pg in (("serving_fp8_us_128k", 16),
+                                 ("serving_fp8_us_128k_p32", 32))
+                 if sane(k, 131072, pg, bpe_meta=1)
                  for r in [ratio(f"dense_main_us_128k{k[19:]}", k)] if r]
         if sv128:
             result["speedup_128k_serving_cfg"] = round(max(sv128), 3)
