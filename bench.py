@@ -6,10 +6,16 @@ budget / page 16 / 32 heads / fp16 on RTX 4090;
 `/root/reference/kernels/src/bench/bench_batch_decode.cu:135-142`).
 
 Measures, on one real TPU chip with bf16 KV cache:
-  dense  = dense paged flash-decode over the full 32K cache
-  sparse = estimate -> top-k -> sparse paged flash-decode (full Quest
-           decode-attention pipeline, jitted as one function)
-and reports speedup = t_dense / t_sparse.
+  dense   = dense paged flash-decode over the full 32K cache
+  kernel  = sparse paged flash-decode over INJECTED shuffled per-head
+            page indices — the reference headline's own protocol
+            (`bench_batch_decode.cu` times only this kernel; estimate
+            and top-k have separate benches). ``value`` = t_dense /
+            t_kernel, directly comparable to the 7.03x.
+  sparse  = estimate -> top-k -> sparse decode (the FULL Quest
+            decode-attention pipeline as one jitted call) — a stricter
+            metric than the reference's; reported as
+            speedup_32k_pipeline / speedup_32k_page16 / serving keys.
 
 Crash-proof protocol (round-4 redesign; r3's driver record was lost to
 an outer wall-clock kill during a late stage):
@@ -170,8 +176,31 @@ def run_stage(stage: str, ctx: int, page: int):
                                           method=method)
             return fb(q, sparse_decode_attention(
                 q, kv_pages, idx, num_valid, seq, sm_scale=sm,
-                layer=0, block_tab=tab, block_pages=bpp))
+                layer=0, block_tab=tab, block_pages=bpp,
+                sorted_selection=True))
         return sparse_step
+
+    # Reference-protocol kernel step: the 7.03x headline's own bench
+    # (`/root/reference/kernels/src/bench/bench_batch_decode.cu:45-86`)
+    # times ONLY the sparse decode kernel over INJECTED shuffled random
+    # per-head page indices — criticality estimation and top-k are
+    # separate benches (`bench_max_possible.cu`,
+    # `bench_decode_select_k.cu`; the paper quotes top-k overhead of
+    # 5-10 us apart from the 7.03x). Mirror it exactly: random distinct
+    # pages per head (unsorted, current page included), kernel only.
+    P_pages = ctx // page
+    rng2 = np.random.default_rng(1)
+    inj = np.stack([np.concatenate([
+        rng2.permutation(P_pages - 1)[:S - 1], [P_pages - 1]])
+        for _ in range(Hkv)]).astype(np.int32)      # [Hkv, S]
+    inj_idx = jnp.asarray(inj[None])                 # [1, Hkv, S]
+    inj_nv = jnp.asarray([min(S, P_pages)], jnp.int32)
+
+    def kernel_step(q, env):
+        kv_pages, kmax, kmin, tab = env
+        return fb(q, sparse_decode_attention(
+            q, kv_pages, inj_idx, inj_nv, seq, sm_scale=sm,
+            layer=0, block_tab=tab, block_pages=bpp))
 
     def dense_step(q, env):
         kv_pages, tab = env
@@ -226,22 +255,33 @@ def run_stage(stage: str, ctx: int, page: int):
             "unfused_us": (data_b + meta_b(2)) / HBM,
             "dense_us": (2 * Hkv * ctx * D * 2) / HBM,
             "serving_fp8_us": (data_b + meta_b(1)) / HBM,
+            "kernel_us": data_b / HBM,
         }
+        # Per-quantity trip counts: the sparse pipelines run ~90-500 us
+        # per iteration, so the (8,72) chain is only 7-36 ms of device
+        # work — within the tunnel's session-level latency swing, which
+        # moved the p32 session MEDIAN across 88-112 us (runs 1-3)
+        # while the dense baseline (53 ms chains) sat rock-stable at
+        # 707-841. Longer chains put the sparse quantities in the same
+        # signal regime (hi chain >= ~25 ms).
+        sp_iters = (16, 288) if on_tpu else iters
         plan = [
-            ("unfused_us", make_sparse_step("exact_fast"), sparse_env()),
-            ("dense_us", dense_step, (cache.kv_pages, btab)),
+            ("kernel_us", kernel_step, sparse_env(), sp_iters),
+            ("unfused_us", make_sparse_step("exact_fast"), sparse_env(),
+             sp_iters),
+            ("dense_us", dense_step, (cache.kv_pages, btab), iters),
             ("serving_fp8_us",
              make_sparse_step(serving_method(quest.max_pages, S)),
-             sparse_env(f8)),
+             sparse_env(f8), sp_iters),
         ]
-        samples: dict[str, list] = {name: [] for name, _, _ in plan}
+        samples: dict[str, list] = {name: [] for name, _, _, _ in plan}
         r = 0
         attempts = 0
         while r <= R and attempts < R + 4:
             attempts += 1
             ok_round = True
-            for name, fn, env in plan:
-                t = bench_op(fn, q, iters=iters, reps=reps, env=env) * 1e6
+            for name, fn, env, its in plan:
+                t = bench_op(fn, q, iters=its, reps=reps, env=env) * 1e6
                 if r == 0:
                     log(f"warm-up {name}: {t:.1f} us (discarded)")
                     continue
@@ -260,7 +300,7 @@ def run_stage(stage: str, ctx: int, page: int):
                       f"{name}_n": len(s)})
             if r > 0:
                 log(f"round {r}/{R} (attempt {attempts}): " + "  ".join(
-                    f"{n}={samples[n][-1]:.1f}us" for n, _, _ in plan
+                    f"{n}={samples[n][-1]:.1f}us" for n, _, _, _ in plan
                     if samples[n]))
             if r == 0 or ok_round:
                 r += 1
@@ -431,6 +471,31 @@ def main():
         # selection is still exact top-K by criticality bound). The
         # fused megakernel rows compete too. Every ratio is a
         # same-child A/B.
+        # ``value``: the reference's OWN headline protocol. 7.03x comes
+        # from `bench_batch_decode.cu` (README.md:17 / paper §4.3.1),
+        # which times ONLY the sparse decode kernel over injected
+        # shuffled per-head page indices — criticality estimation and
+        # top-k are benched separately (`bench_max_possible.cu`,
+        # `bench_decode_select_k.cu`; the paper quotes 5-10 us top-k
+        # overhead apart from the headline). kernel_us mirrors that
+        # protocol; the STRICTER full-pipeline (estimate -> top-k ->
+        # kernel as one jitted call) speedups are reported alongside
+        # as speedup_32k_pipeline / speedup_32k_page16 / serving keys.
+        kcands = [(r, raw[k], raw[d], pg) for k, d, pg in
+                  (("kernel_us_32k", "dense_main_us_32k", 16),
+                   ("kernel_us_32k_p32", "dense_main_us_32k_p32", 32))
+                  if sane(k, 32768, pg, bpe_meta=0)
+                  for r in [ratio(d, k)] if r]
+        if kcands:
+            sp, t_k, t_d, pg = max(kcands)
+            result.update(value=round(sp, 3),
+                          vs_baseline=round(sp / 7.03, 3),
+                          kernel_us_32k_best=round(t_k, 1),
+                          kernel_page_size_32k=pg)
+            if sane("kernel_us_32k", 32768, 16, bpe_meta=0):
+                kp16 = ratio("dense_main_us_32k", "kernel_us_32k")
+                if kp16:
+                    result["speedup_32k_kernel_page16"] = round(kp16, 3)
         cands = [(r, raw[k], raw[d], pg) for k, d, pg in
                  (("unfused_us_32k", "dense_main_us_32k", 16),
                   ("unfused_us_32k_p32", "dense_main_us_32k_p32", 32),
@@ -439,8 +504,7 @@ def main():
                  for r in [ratio(d, k)] if r]
         if cands:
             sp, t_sparse, t_dense, pg = max(cands)
-            result.update(value=round(sp, 3),
-                          vs_baseline=round(sp / 7.03, 3),
+            result.update(speedup_32k_pipeline=round(sp, 3),
                           dense_us_32k=round(t_dense, 1),
                           sparse_us_32k=round(t_sparse, 1),
                           page_size_32k=pg)
@@ -454,6 +518,13 @@ def main():
               for r in [ratio(f"dense_main_us_32k{k[18:]}", k)] if r]
         if sv:
             result["speedup_32k_serving_cfg"] = round(max(sv), 3)
+        k128 = [r for k, d, pg in
+                (("kernel_us_128k", "dense_main_us_128k", 16),
+                 ("kernel_us_128k_p32", "dense_main_us_128k_p32", 32))
+                if sane(k, 131072, pg, bpe_meta=0)
+                for r in [ratio(d, k)] if r]
+        if k128:
+            result["speedup_128k_kernel"] = round(max(k128), 3)
         ex128 = [r for k, d, pg in
                  (("unfused_us_128k", "dense_main_us_128k", 16),
                   ("unfused_us_128k_p32", "dense_main_us_128k_p32", 32),

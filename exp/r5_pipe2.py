@@ -1,24 +1,14 @@
-"""Round-5 decode-pipeline stage decomposition (one process, chip).
+"""Probe: Pallas streaming estimate inside the composed pipeline.
 
-After the fast-path kernel landed at ~45 us (the raw gather ceiling),
-the full exact pipeline still reads ~110 us — this probe splits the
-difference into estimate / selection / kernel / composition overhead,
-and A/Bs the q-row policies and the serving config, interleaved.
+r4 measured page_scores_kernel faster standalone (794 GB/s vs the XLA
+einsum's ~515) but +180 us of operand copies when composed with the
+OLD sparse-decode custom call. The round-5 fast-path kernel has a
+different operand layout; re-measure the composition. B=1 identity
+block layout lets the physical metadata reshape [Hkv,NPB,bpp,D] ->
+[1,Hkv,NP,D] for the kernel and the slot's logical scores are the
+slice [bpp : bpp+P].
 
-  dense        dense paged decode (denominator)
-  est          page_scores_physical only (sum-of-SQUARES feedback:
-               sum(dot) is algebraically reducible and hides the matmul)
-  est_sel      estimate + select_pages(exact_fast)
-  k_fast1      kernel only, injected fixed selection
-  k_qpad8      kernel only, q_pad8 (8-row bf16 score matmul)
-  k_qf32       kernel only, q_f32
-  pipe         est + sel + kernel (defaults)
-  pipe_qpad8   pipe with q_pad8 kernel
-  pipe_nosort  pipe without the sort-by-page (does the monotonic HBM
-               walk still matter at the ceiling?)
-  serving      fp8 metadata + serving_method + default kernel
-
-Usage: python exp/r5_pipe_probe.py --page 32 [--rounds 5] [--aot]
+Usage: python exp/r5_pipe2.py --page 32 [--rounds 5] [--aot]
 """
 
 from __future__ import annotations
@@ -58,18 +48,19 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/quest_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
 
     from quest_tpu.config import ModelConfig, QuestConfig
     from quest_tpu.kv.paged_kv import append_prefill_at, init_cache
     from quest_tpu.ops.dense_decode import dense_decode_attention
-    from quest_tpu.ops.estimate import page_scores_physical
+    from quest_tpu.ops.estimate import (page_scores_kernel,
+                                        page_scores_physical)
     from quest_tpu.ops.sparse_decode import sparse_decode_attention
     from quest_tpu.ops.topk import select_pages, serving_method
     from quest_tpu.utils.benchmarking import bench_op
 
     on_tpu = jax.default_backend() == "tpu"
+    interpret = not on_tpu
     B, Hq, Hkv, D = 1, 32, 32, 128
     ctx = args.ctx if on_tpu else 2048
     BUDGET = 2048 if on_tpu else 256
@@ -107,57 +98,49 @@ def main():
     f8 = jnp.float8_e4m3fn
     km8 = cache.k_max.astype(f8)
     kn8 = cache.k_min.astype(f8)
-
-    scores0 = page_scores_physical(q, cache.k_max[0], cache.k_min[0],
-                                   btab, group_agg="sum")
-    idx0, nv0 = select_pages(scores0, seq, page, S, method="exact")
-    idx0 = jax.block_until_ready(idx0)
     sm_method = serving_method(quest.max_pages, S)
-    log(f"selection fixed; serving_method={sm_method}")
 
     def fb(x, y):
         dep = jnp.tanh(jnp.sum(y.astype(jnp.float32))) * 1e-3
         return (x + dep.astype(x.dtype)).astype(x.dtype)
 
     def fbsq(x, y):
-        dep = jnp.tanh(jnp.sum(jnp.square(
-            y.astype(jnp.float32)))) * 1e-3
+        dep = jnp.tanh(jnp.sum(jnp.square(y.astype(jnp.float32)))) * 1e-3
         return (x + dep.astype(x.dtype)).astype(x.dtype)
 
-    def est_step(q, env):
-        km, kn = env[2], env[3]
-        s = page_scores_physical(q, km[0], kn[0], env[1],
-                                 group_agg="sum")
-        return fbsq(q, s)
+    def est_pallas(q, km, kn, block_p):
+        km, kn = km[0], kn[0]               # [Hkv, NPB, bpp, D]
+        NP = km.shape[1] * km.shape[2]
+        kml = km.reshape(Hkv, NP, D)[None]
+        knl = kn.reshape(Hkv, NP, D)[None]
+        s = page_scores_kernel(q, kml, knl, group_agg="sum",
+                               block_p=block_p, interpret=interpret)
+        return s[:, :, bpp:bpp + maxp]          # identity block layout
 
-    def est_sel_step(method, sort=True):
+    def pipe_pallas(method, block_p=1024, **kw):
         def step(q, env):
-            km, kn = env[2], env[3]
-            s = page_scores_physical(q, km[0], kn[0], env[1],
-                                     group_agg="sum")
-            ii, nv = select_pages(s, seq, page, S, method=method,
-                                  sort_by_page=sort)
-            return fb(q, ii + nv[:, None, None])
-        return step
-
-    def kern_step(**kw):
-        def step(q, env):
+            kv_pages, tab, km, kn = env
+            s = est_pallas(q, km, kn, block_p)
+            ii, nv = select_pages(s, seq, page, S, method=method)
             return fb(q, sparse_decode_attention(
-                q, env[0], idx0, nv0, seq, sm_scale=sm, layer=0,
-                block_tab=env[1], block_pages=bpp, **kw))
+                q, kv_pages, ii, nv, seq, sm_scale=sm, layer=0,
+                block_tab=tab, block_pages=bpp, **kw))
         return step
 
-    def pipe_step(method, sort=True, **kw):
+    def pipe_xla(method, **kw):
         def step(q, env):
-            km, kn = env[2], env[3]
-            s = page_scores_physical(q, km[0], kn[0], env[1],
+            kv_pages, tab, km, kn = env
+            s = page_scores_physical(q, km[0], kn[0], tab,
                                      group_agg="sum")
-            ii, nv = select_pages(s, seq, page, S, method=method,
-                                  sort_by_page=sort)
+            ii, nv = select_pages(s, seq, page, S, method=method)
             return fb(q, sparse_decode_attention(
-                q, env[0], ii, nv, seq, sm_scale=sm, layer=0,
-                block_tab=env[1], block_pages=bpp, **kw))
+                q, kv_pages, ii, nv, seq, sm_scale=sm, layer=0,
+                block_tab=tab, block_pages=bpp, **kw))
         return step
+
+    def est_pallas_only(q, env):
+        kv_pages, tab, km, kn = env
+        return fbsq(q, est_pallas(q, km, kn, 1024))
 
     def dense_step(q, env):
         return fb(q, dense_decode_attention(
@@ -168,21 +151,13 @@ def main():
     env8 = (cache.kv_pages, btab, km8, kn8)
     variants = [
         ("dense", dense_step, env, (8, 72)),
-        ("est", est_step, env, (16, 288)),
-        ("est8", est_step, env8, (16, 288)),
-        ("est_sel", est_sel_step("exact_fast"), env, (16, 288)),
-        ("est_sel_nosort", est_sel_step("exact_fast", sort=False), env, (16, 288)),
-        ("est_sel_approx", est_sel_step("approx"), env, (16, 288)),
-        ("k_fast1", kern_step(), env, (16, 288)),
-        ("k_ns4", kern_step(num_slots=4), env, (16, 288)),
-        ("k_ns6", kern_step(num_slots=6), env, (16, 288)),
-        ("k_qpad8", kern_step(q_pad8=True), env, (16, 288)),
-        ("k_qf32", kern_step(q_f32=True), env, (16, 288)),
-        ("pipe", pipe_step("exact_fast"), env, (16, 288)),
-        ("pipe_ns4", pipe_step("exact_fast", num_slots=4), env,
-         (16, 288)),
-        ("pipe_approx", pipe_step("approx"), env, (16, 288)),
-        ("serving", pipe_step(sm_method), env8, (16, 288)),
+        ("est_pallas", est_pallas_only, env, (16, 288)),
+        ("pipe_xla", pipe_xla("exact_fast"), env, (16, 288)),
+        ("pipe_pallas", pipe_pallas("exact_fast"), env, (16, 288)),
+        ("pipe_pallas_bp512", pipe_pallas("exact_fast", block_p=512),
+         env, (16, 288)),
+        ("serving_xla", pipe_xla(sm_method), env8, (16, 288)),
+        ("serving_pallas", pipe_pallas(sm_method), env8, (16, 288)),
     ]
     if not on_tpu:
         variants = [(n, s, e, (2, 6)) for n, s, e, _ in variants]
@@ -192,14 +167,14 @@ def main():
             t0 = time.time()
             jax.jit(step).lower(q, venv).compile()
             log(f"AOT {name}: ok in {time.time()-t0:.1f}s")
-        print(json.dumps({"aot": "ok", "page": page}))
+        print(json.dumps({"aot": "ok"}))
         return
 
     for name, step, venv, _ in variants:
         np.asarray(jax.jit(step)(q, venv))
         log(f"warm {name} ok")
 
-    samples: dict[str, list] = {n: [] for n, _, _, _ in variants}
+    samples = {n: [] for n, _, _, _ in variants}
     for r in range(args.rounds):
         for name, step, venv, it in variants:
             t = bench_op(step, q, iters=it, reps=5, env=venv) * 1e6
@@ -208,13 +183,13 @@ def main():
             f"{n}={samples[n][-1]:.1f}" for n, _, _, _ in variants))
 
     out = {"page": page, "ctx": ctx}
-    for name, vals in samples.items():
-        out[name] = round(statistics.median(vals), 1)
-        out[f"{name}_all"] = [round(v, 1) for v in vals]
-    d = out.get("dense", 0)
-    for name in ("pipe", "pipe_ns4", "pipe_approx", "serving"):
-        if out.get(name):
-            out[f"speedup_{name}"] = round(d / out[name], 2)
+    for n, v in samples.items():
+        out[n] = round(statistics.median(v), 1)
+        out[n + "_all"] = [round(x, 1) for x in v]
+    d = out["dense"]
+    for n in samples:
+        if n != "dense":
+            out[f"speedup_{n}"] = round(d / out[n], 2)
     print(json.dumps(out))
 
 

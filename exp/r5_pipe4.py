@@ -1,24 +1,17 @@
-"""Round-5 decode-pipeline stage decomposition (one process, chip).
+"""Probe: round-5 glue cuts (sorted_selection static lastslot +
+in-kernel block-table translation) and a stacked-metadata single-einsum
+estimate emulation.
 
-After the fast-path kernel landed at ~45 us (the raw gather ceiling),
-the full exact pipeline still reads ~110 us — this probe splits the
-difference into estimate / selection / kernel / composition overhead,
-and A/Bs the q-row policies and the serving config, interleaved.
+  dense          baseline
+  pipe_old       exact pipeline, sorted_selection=False (r4 glue)
+  pipe_new       exact pipeline, sorted_selection=True (new default)
+  serving_new    serving cfg with the same
+  est_split      current two-einsum estimate (f32-HI)
+  est_stacked    single einsum over a PRE-STACKED [Hkv, NP, 2, D]
+                 metadata array (emulates an interleaved storage
+                 layout; 256-deep contraction, one stream pass)
 
-  dense        dense paged decode (denominator)
-  est          page_scores_physical only (sum-of-SQUARES feedback:
-               sum(dot) is algebraically reducible and hides the matmul)
-  est_sel      estimate + select_pages(exact_fast)
-  k_fast1      kernel only, injected fixed selection
-  k_qpad8      kernel only, q_pad8 (8-row bf16 score matmul)
-  k_qf32       kernel only, q_f32
-  pipe         est + sel + kernel (defaults)
-  pipe_qpad8   pipe with q_pad8 kernel
-  pipe_nosort  pipe without the sort-by-page (does the monotonic HBM
-               walk still matter at the ceiling?)
-  serving      fp8 metadata + serving_method + default kernel
-
-Usage: python exp/r5_pipe_probe.py --page 32 [--rounds 5] [--aot]
+Usage: python exp/r5_pipe4.py [--rounds 5] [--aot]
 """
 
 from __future__ import annotations
@@ -58,7 +51,6 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/quest_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
 
     from quest_tpu.config import ModelConfig, QuestConfig
@@ -107,82 +99,68 @@ def main():
     f8 = jnp.float8_e4m3fn
     km8 = cache.k_max.astype(f8)
     kn8 = cache.k_min.astype(f8)
-
-    scores0 = page_scores_physical(q, cache.k_max[0], cache.k_min[0],
-                                   btab, group_agg="sum")
-    idx0, nv0 = select_pages(scores0, seq, page, S, method="exact")
-    idx0 = jax.block_until_ready(idx0)
     sm_method = serving_method(quest.max_pages, S)
-    log(f"selection fixed; serving_method={sm_method}")
+
+    # Pre-stacked metadata [Hkv, NP, 2, D] (emulated storage layout).
+    NPB, bpp_, D_ = cache.k_max.shape[2], cache.k_max.shape[3], D
+    NP = NPB * bpp_
+    kmm = jnp.stack([cache.k_max[0].reshape(Hkv, NP, D),
+                     cache.k_min[0].reshape(Hkv, NP, D)], axis=2)
+    kmm = jax.block_until_ready(kmm)
 
     def fb(x, y):
         dep = jnp.tanh(jnp.sum(y.astype(jnp.float32))) * 1e-3
         return (x + dep.astype(x.dtype)).astype(x.dtype)
 
     def fbsq(x, y):
-        dep = jnp.tanh(jnp.sum(jnp.square(
-            y.astype(jnp.float32)))) * 1e-3
+        dep = jnp.tanh(jnp.sum(jnp.square(y.astype(jnp.float32)))) * 1e-3
         return (x + dep.astype(x.dtype)).astype(x.dtype)
 
-    def est_step(q, env):
-        km, kn = env[2], env[3]
-        s = page_scores_physical(q, km[0], kn[0], env[1],
+    HI = jax.lax.Precision.HIGHEST
+
+    def est_split_step(q, e):
+        s = page_scores_physical(q, e[2][0], e[3][0], e[1],
                                  group_agg="sum")
         return fbsq(q, s)
 
-    def est_sel_step(method, sort=True):
-        def step(q, env):
-            km, kn = env[2], env[3]
-            s = page_scores_physical(q, km[0], kn[0], env[1],
+    def est_stacked_step(q, e):
+        kmm = e[4]
+        qf = q.astype(jnp.float32).reshape(B, Hkv, 1, D)
+        qc = jnp.concatenate([jnp.maximum(qf, 0.0),
+                              jnp.minimum(qf, 0.0)], axis=2)  # [B,Hkv,2,D]
+        s = jnp.einsum("bkrd,kprd->bkp", qc, kmm, precision=HI,
+                       preferred_element_type=jnp.float32)
+        sel = jax.nn.one_hot(e[1], NPB, dtype=s.dtype)
+        s_log = jnp.einsum("bhNp,bnN->bhnp",
+                           s.reshape(B, Hkv, NPB, bpp_), sel,
+                           precision=HI)
+        return fbsq(q, s_log.reshape(B, Hkv, -1))
+
+    def pipe_step(method, sorted_sel, env8=False, **kw):
+        def step(q, e):
+            s = page_scores_physical(q, e[2][0], e[3][0], e[1],
                                      group_agg="sum")
-            ii, nv = select_pages(s, seq, page, S, method=method,
-                                  sort_by_page=sort)
-            return fb(q, ii + nv[:, None, None])
-        return step
-
-    def kern_step(**kw):
-        def step(q, env):
+            ii, nv = select_pages(s, seq, page, S, method=method)
             return fb(q, sparse_decode_attention(
-                q, env[0], idx0, nv0, seq, sm_scale=sm, layer=0,
-                block_tab=env[1], block_pages=bpp, **kw))
+                q, e[0], ii, nv, seq, sm_scale=sm, layer=0,
+                block_tab=e[1], block_pages=bpp,
+                sorted_selection=sorted_sel, **kw))
         return step
 
-    def pipe_step(method, sort=True, **kw):
-        def step(q, env):
-            km, kn = env[2], env[3]
-            s = page_scores_physical(q, km[0], kn[0], env[1],
-                                     group_agg="sum")
-            ii, nv = select_pages(s, seq, page, S, method=method,
-                                  sort_by_page=sort)
-            return fb(q, sparse_decode_attention(
-                q, env[0], ii, nv, seq, sm_scale=sm, layer=0,
-                block_tab=env[1], block_pages=bpp, **kw))
-        return step
-
-    def dense_step(q, env):
+    def dense_step(q, e):
         return fb(q, dense_decode_attention(
-            q, env[0], seq, sm_scale=sm, layer=0, block_tab=env[1],
+            q, e[0], seq, sm_scale=sm, layer=0, block_tab=e[1],
             block_pages=bpp, max_pages=maxp))
 
-    env = (cache.kv_pages, btab, cache.k_max, cache.k_min)
-    env8 = (cache.kv_pages, btab, km8, kn8)
+    env = (cache.kv_pages, btab, cache.k_max, cache.k_min, kmm)
+    env8 = (cache.kv_pages, btab, km8, kn8, kmm)
     variants = [
         ("dense", dense_step, env, (8, 72)),
-        ("est", est_step, env, (16, 288)),
-        ("est8", est_step, env8, (16, 288)),
-        ("est_sel", est_sel_step("exact_fast"), env, (16, 288)),
-        ("est_sel_nosort", est_sel_step("exact_fast", sort=False), env, (16, 288)),
-        ("est_sel_approx", est_sel_step("approx"), env, (16, 288)),
-        ("k_fast1", kern_step(), env, (16, 288)),
-        ("k_ns4", kern_step(num_slots=4), env, (16, 288)),
-        ("k_ns6", kern_step(num_slots=6), env, (16, 288)),
-        ("k_qpad8", kern_step(q_pad8=True), env, (16, 288)),
-        ("k_qf32", kern_step(q_f32=True), env, (16, 288)),
-        ("pipe", pipe_step("exact_fast"), env, (16, 288)),
-        ("pipe_ns4", pipe_step("exact_fast", num_slots=4), env,
-         (16, 288)),
-        ("pipe_approx", pipe_step("approx"), env, (16, 288)),
-        ("serving", pipe_step(sm_method), env8, (16, 288)),
+        ("est_split", est_split_step, env, (16, 288)),
+        ("est_stacked", est_stacked_step, env, (16, 288)),
+        ("pipe_old", pipe_step("exact_fast", False), env, (16, 288)),
+        ("pipe_new", pipe_step("exact_fast", True), env, (16, 288)),
+        ("serving_new", pipe_step(sm_method, True), env8, (16, 288)),
     ]
     if not on_tpu:
         variants = [(n, s, e, (2, 6)) for n, s, e, _ in variants]
@@ -192,14 +170,14 @@ def main():
             t0 = time.time()
             jax.jit(step).lower(q, venv).compile()
             log(f"AOT {name}: ok in {time.time()-t0:.1f}s")
-        print(json.dumps({"aot": "ok", "page": page}))
+        print(json.dumps({"aot": "ok"}))
         return
 
     for name, step, venv, _ in variants:
         np.asarray(jax.jit(step)(q, venv))
         log(f"warm {name} ok")
 
-    samples: dict[str, list] = {n: [] for n, _, _, _ in variants}
+    samples = {n: [] for n, _, _, _ in variants}
     for r in range(args.rounds):
         for name, step, venv, it in variants:
             t = bench_op(step, q, iters=it, reps=5, env=venv) * 1e6
@@ -208,13 +186,13 @@ def main():
             f"{n}={samples[n][-1]:.1f}" for n, _, _, _ in variants))
 
     out = {"page": page, "ctx": ctx}
-    for name, vals in samples.items():
-        out[name] = round(statistics.median(vals), 1)
-        out[f"{name}_all"] = [round(v, 1) for v in vals]
-    d = out.get("dense", 0)
-    for name in ("pipe", "pipe_ns4", "pipe_approx", "serving"):
-        if out.get(name):
-            out[f"speedup_{name}"] = round(d / out[name], 2)
+    for n, v in samples.items():
+        out[n] = round(statistics.median(v), 1)
+        out[n + "_all"] = [round(x, 1) for x in v]
+    d = out["dense"]
+    for n in samples:
+        if n != "dense":
+            out[f"speedup_{n}"] = round(d / out[n], 2)
     print(json.dumps(out))
 
 

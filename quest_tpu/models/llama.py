@@ -211,11 +211,14 @@ class QuestModel:
                                               quest.page_budget,
                                               method=quest.topk_method)
             with jax.named_scope("quest_sparse_attn"):
+                # sorted_selection: select_pages sorts by page id, so
+                # the forced current page sits at slot num_valid-1.
                 return sparse_decode_attention(
                     q, cache.kv_pages, idx, num_valid, seq_lens,
                     sm_scale=sm, layer=layer, per_q_head=per_q,
                     block_tab=cache.block_tab,
-                    block_pages=cache.block_pages)
+                    block_pages=cache.block_pages,
+                    sorted_selection=True)
         with jax.named_scope("dense_decode_attn"):
             return dense_decode_attention(q, cache.kv_pages, seq_lens,
                                           sm_scale=sm, layer=layer,

@@ -210,9 +210,13 @@ def page_scores_kernel(q, k_max, k_min, group_agg: str = "max",
     qc = jnp.concatenate([jnp.maximum(qf, 0.0), jnp.minimum(qf, 0.0)],
                          axis=2).astype(qdt)           # [B, Hkv, 2Gp, D]
 
-    bp = max(1, min(block_p, P))
-    while P % bp:
-        bp -= 1
+    # Mosaic requires the output block's lane dim be a 128-multiple or
+    # the whole axis: pick the largest 128-multiple divisor of P, else
+    # stream the whole page axis in one block (e.g. P=1088 = 128*8.5
+    # has none; a 1088-page block is ~278 KB of VMEM per operand).
+    cands = [d for d in range(128, min(block_p, P) + 1, 128)
+             if P % d == 0]
+    bp = max(cands) if cands else P
     nb = P // bp
 
     def kv_index(b, h, j):

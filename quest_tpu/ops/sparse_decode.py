@@ -58,9 +58,9 @@ from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
 
 
 def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
-            kvdiv: int, nsem: int, Gs: int, meta_ref, idx_ref,
-            lastslot_ref, q_ref, kv_hbm, o_ref, kv_buf, sems, m_scr,
-            l_scr, acc_scr):
+            kvdiv: int, nsem: int, Gs: int, bpp_tab: int, meta_ref,
+            idx_ref, lastslot_ref, tab_ref, q_ref, kv_hbm, o_ref,
+            kv_buf, sems, m_scr, l_scr, acc_scr):
     pps = ppb // nsem             # pages per semaphore stripe
     b = pl.program_id(0)
     t = pl.program_id(1)          # flattened (head, block) step
@@ -85,6 +85,12 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
         slot = ff % nslot
         for i in range(ppb):
             pid = idx_ref[bb, hh, blk * ppb + i]
+            if bpp_tab:
+                # Logical -> physical through the block table ON the
+                # scalar core (round 5): two scalar ops per descriptor
+                # replace a whole XLA gather fusion per decode step.
+                pid = (tab_ref[bb, pid // bpp_tab] * bpp_tab
+                       + pid % bpp_tab)
             # Per-q-head selection mode (kvdiv = G > 1): grid head hh is
             # a QUERY head; its pages live under physical KV head
             # hh // kvdiv (docs/gqa_selection.md).
@@ -192,8 +198,9 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
 
 
 def _kernel_1blk(S: int, page: int, layer: int | None, nslot: int,
-                 kvdiv: int, hb: int, Gs: int, meta_ref, idx_ref,
-                 lastslot_ref, q_ref, kv_hbm, o_ref, kv_buf, sems):
+                 kvdiv: int, hb: int, Gs: int, bpp_tab: int, meta_ref,
+                 idx_ref, lastslot_ref, tab_ref, q_ref, kv_hbm, o_ref,
+                 kv_buf, sems):
     """Single-block fast path: the whole selection of ``hb`` heads is
     gathered per grid step and softmax runs in ONE shot (no online
     m/l/acc state, no per-block predicates). Round-5 redesign of the
@@ -224,6 +231,11 @@ def _kernel_1blk(S: int, page: int, layer: int | None, nslot: int,
             hh = tt * hb + e
             for i in range(S):
                 pid = idx_ref[bb, hh, i]
+                if bpp_tab:
+                    # Logical -> physical on the scalar core (see
+                    # _kernel): kills the XLA translate fusion.
+                    pid = (tab_ref[bb, pid // bpp_tab] * bpp_tab
+                           + pid % bpp_tab)
                 src = (kv_hbm.at[hh // kvdiv, pid] if shared
                        else kv_hbm.at[bb, hh // kvdiv, pid])
                 pltpu.make_async_copy(src, kv_buf.at[slot, e, i],
@@ -288,7 +300,8 @@ def _kernel_1blk(S: int, page: int, layer: int | None, nslot: int,
                                              "layer", "per_q_head",
                                              "block_pages", "num_sems",
                                              "q_f32", "heads_per_block",
-                                             "q_pad8"))
+                                             "q_pad8",
+                                             "sorted_selection"))
 def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             seq_lens, *, sm_scale: float,
                             pages_per_block: int = 128,
@@ -301,7 +314,8 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
                             num_sems: int = 1,
                             q_f32: bool = False,
                             heads_per_block: int = 0,
-                            q_pad8: bool = False):
+                            q_pad8: bool = False,
+                            sorted_selection: bool = False):
     """Decode attention over selected pages.
 
     Args:
@@ -398,26 +412,40 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
                       last_page,
                       last_len], axis=1)  # [B, 3]
 
-    # Slot position of the (possibly partially filled) current page in
-    # each head's selection, found by one tiny XLA fusion; -1 if absent
-    # (e.g. test-injected index sets without the current page).
     indices = indices.astype(jnp.int32)
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (B, Hkv, S), 2)
-    is_last = jnp.logical_and(
-        indices == last_page[:, None, None],
-        slot_ids < num_valid.astype(jnp.int32)[:, None, None])
-    lastslot = jnp.where(jnp.any(is_last, axis=-1),
-                         jnp.argmax(is_last, axis=-1).astype(jnp.int32),
-                         -1)                       # [B, Hkv]
+    if sorted_selection:
+        # select_pages(sort_by_page=True) output invariant: the forced
+        # current page has the MAXIMUM page id among valid slots, so
+        # after the page-id sort it sits at slot num_valid-1 — no
+        # search needed (round 5: the any/argmax fusion below was one
+        # of ~4 small XLA fusions costing ~3-5 us each per decode
+        # step).
+        lastslot = jnp.broadcast_to(
+            (num_valid.astype(jnp.int32) - 1)[:, None], (B, Hkv))
+    else:
+        # Slot position of the (possibly partially filled) current page
+        # in each head's selection, found by one tiny XLA fusion; -1 if
+        # absent (e.g. test-injected index sets without the current
+        # page).
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (B, Hkv, S), 2)
+        is_last = jnp.logical_and(
+            indices == last_page[:, None, None],
+            slot_ids < num_valid.astype(jnp.int32)[:, None, None])
+        lastslot = jnp.where(
+            jnp.any(is_last, axis=-1),
+            jnp.argmax(is_last, axis=-1).astype(jnp.int32),
+            -1)                       # [B, Hkv]
 
     if block_tab is not None:
-        # Logical -> physical page ids through the per-slot block table
-        # (one tiny XLA gather; the kernel then addresses the shared
-        # pool directly).
-        bidx = jnp.arange(B)[:, None, None]
-        blk = block_tab[jnp.broadcast_to(bidx, indices.shape),
-                        indices // block_pages]
-        indices = blk * block_pages + indices % block_pages
+        # Logical -> physical page ids through the per-slot block
+        # table, resolved ON the kernel's scalar core at DMA-issue time
+        # (two scalar ops per descriptor; replaces an XLA gather fusion
+        # per decode step — round 5).
+        tab = block_tab.astype(jnp.int32)
+        bpp_tab = block_pages
+    else:
+        tab = jnp.zeros((B, 1), jnp.int32)
+        bpp_tab = 0
 
     if nb == 1:
         # Single-block fast path: whole selection per head per step.
@@ -429,7 +457,7 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
         while Hkv % hb:
             hb -= 1
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(B, Hkv // hb),
             in_specs=[
                 pl.BlockSpec((1, hb, Gp, D), lambda b, t, *_: (b, t, 0, 0)),
@@ -443,10 +471,10 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
             ],
         )
         kern = functools.partial(_kernel_1blk, S, page, layer, num_slots,
-                                 kvdiv, hb, Gs)
+                                 kvdiv, hb, Gs, bpp_tab)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(B, Hkv * nb),
             in_specs=[
                 pl.BlockSpec((1, 1, Gp, D),
@@ -464,7 +492,7 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
             ],
         )
         kern = functools.partial(_kernel, ppb, page, layer, nb, num_slots,
-                                 kvdiv, nsem, Gs)
+                                 kvdiv, nsem, Gs, bpp_tab)
 
     out = pl.pallas_call(
         kern,
@@ -474,6 +502,6 @@ def sparse_decode_attention(q, kv_pages, indices, num_valid,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(meta, indices, lastslot, qg, kv_pages)
+    )(meta, indices, lastslot, tab, qg, kv_pages)
 
     return out[:, :, :G, :].reshape(B, Hq, D)

@@ -299,3 +299,23 @@ def test_prefill_batched_mixed_offsets():
                             sm_scale=sm, block_q=16, block_k=32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_sorted_selection_flag_matches_default():
+    """sorted_selection=True (static lastslot = num_valid-1, in-kernel
+    table translation skipped-search path) must equal the default path
+    on select_pages output (which sorts by page id and force-includes
+    the current page)."""
+    rng = np.random.default_rng(21)
+    B, Hq, Hkv, D, page, P = 2, 4, 4, 64, 16, 11
+    seq = jnp.asarray([int(P * page - 7), 90])
+    kv_pages, _, _ = make_packed(rng, B, Hkv, P, page, D)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    sm = 1.0 / np.sqrt(D)
+    scores = jnp.asarray(rng.standard_normal((B, Hkv, P)).astype(np.float32))
+    idx, nv = select_pages(scores, seq, page, 4)
+    a = sparse_decode_attention(q, kv_pages, idx, nv, seq, sm_scale=sm)
+    b = sparse_decode_attention(q, kv_pages, idx, nv, seq, sm_scale=sm,
+                                sorted_selection=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
