@@ -195,14 +195,24 @@ def main():
     }
 
     if args.ab_full and budget < ctx:
-        # Full-cache control in the SAME process: budget=ctx makes the
-        # selection contain every page, i.e. dense paged decode (the
-        # reference's budget=102400 control, bench_efficiency_e2e.sh).
+        # Full-cache control in the SAME process (the reference's
+        # budget=102400 control, bench_efficiency_e2e.sh). Round-5
+        # honesty fix: the reference's control takes its DENSE fallback
+        # (`need_estimate()` false -> paged dense decode, no estimate
+        # and no top-k, `QuestAttention.py:125-133`); an earlier
+        # control here ran budget=ctx through the full selection stack
+        # (estimate + full-width top-k + gather-all), which is SLOWER
+        # than our own dense path and inflated every e2e ratio —
+        # catastrophically so for fp8 pools, where the all-page gather
+        # pays the in-kernel upcast on the whole cache. skip_layers=L
+        # routes every layer through dense_decode_attention: our best
+        # (and the reference-faithful) full-cache engine.
         # Weights are shared; only the KV pool is duplicated.
         for a in (engine.cache.kv_pages, engine.cache.k_max,
                   engine.cache.k_min):
             a.delete()              # make room for the control's pool
-        quest_full = dataclasses.replace(quest, token_budget=ctx)
+        quest_full = dataclasses.replace(quest, token_budget=ctx,
+                                         skip_layers=cfg.num_layers)
         engine2 = QuestEngine(cfg, quest_full, params,
                               batch_size=args.batch,
                               prefill_bucket=min(ctx, 2048),
