@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
+from quest_tpu.ops.pallas_utils import (MASK_VALUE, round_up,
+                                        upcast_fp8, use_interpret)
 
 
 def _kernel_shared(bp: int, page: int, Gs: int, seq_ref, btab_ref,
@@ -58,9 +59,9 @@ def _kernel(bp: int, page: int, Gs: int, seq_ref, q_ref, kv_ref, o_ref,
         kv = kv_ref[...].reshape(bp, 2, page, q.shape[-1])
         k = kv[:, 0].reshape(block_t, -1)
         v = kv[:, 1].reshape(block_t, -1)
-        if k.dtype != q.dtype:              # fp8 pool: upcast post-load
-            k = k.astype(q.dtype)
-            v = v.astype(q.dtype)
+        if k.dtype != q.dtype:              # fp8 pool: integer-ops upcast
+            k = upcast_fp8(k, q.dtype)
+            v = upcast_fp8(v, q.dtype)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s[:Gs]   # f32-tile-aligned row slice: VPU work on Gs rows

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from quest_tpu.ops.pallas_utils import round_up, use_interpret
+from quest_tpu.ops.pallas_utils import round_up, upcast_fp8, use_interpret
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -163,8 +163,8 @@ def _est_kernel(G: int, agg: str, q_ref, kmax_ref, kmin_ref, o_ref):
     D = qc.shape[1]
     # fp8 metadata streams at compressed width; upcast to the (bf16)
     # query dtype post-load so the MXU sees a uniform operand pair.
-    kmax = kmax_ref[...].reshape(-1, D).astype(qc.dtype)   # [bp, D]
-    kmin = kmin_ref[...].reshape(-1, D).astype(qc.dtype)
+    kmax = upcast_fp8(kmax_ref[...].reshape(-1, D), qc.dtype)  # [bp, D]
+    kmin = upcast_fp8(kmin_ref[...].reshape(-1, D), qc.dtype)
     s = (jax.lax.dot_general(qc[:Gp], kmax, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
          + jax.lax.dot_general(qc[Gp:], kmin, (((1,), (1,)), ((), ())),

@@ -5,6 +5,37 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
+
+
+def upcast_fp8(x, dtype=None):
+    """fp8 e4m3 -> bf16 via integer bit manipulation (flush-to-zero).
+
+    Mosaic has no native fp8->bf16 convert path: `astype` measured
+    ~60-130 GB/s effective in the gather kernels (the fp8 sparse
+    kernel ran 252 us vs 45.5 bf16 for HALF the bytes). The bit
+    recipe is exact for all normal e4m3 values:
+      bf16_bits = sign<<8 | ((exp_mant << 4) + (120 << 7))
+    (exp rebias 7 -> 127; mantissa 3 -> 7 bits by left-shift). e4m3
+    denormals (|v| <= 0.0136) flush to zero — below e4m3's own
+    quantization step near unit scale, and the KV pool's magnitudes
+    are O(1). NaN (S.1111.111) maps to a large finite value; the pool
+    is guaranteed NaN-free by construction (kv/paged_kv.py _finite
+    invariant). Identity (plain astype) for non-fp8 inputs.
+    """
+    if jnp.dtype(x.dtype).itemsize != 1:
+        return x if dtype is None else x.astype(dtype)
+    # i32 lanes with multiplies, no shifts: Mosaic cannot legalize
+    # arith.shli on sub-32-bit vectors ("failed to legalize operation
+    # 'arith.shli'" on vector<...xi16>), and the bit fields never
+    # overlap so adds replace ors.
+    u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+    sign = (u & 0x80) * 256
+    em = u & 0x7F
+    bits = sign + jnp.where(em < 8, 0, em * 16 + (120 << 7))
+    y = jax.lax.bitcast_convert_type(bits.astype(jnp.uint16),
+                                     jnp.bfloat16)
+    return y if dtype is None else y.astype(dtype)
 
 
 def use_interpret() -> bool:

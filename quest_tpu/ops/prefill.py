@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
+from quest_tpu.ops.pallas_utils import (MASK_VALUE, round_up,
+                                        upcast_fp8, use_interpret)
 
 
 def _kernel_shared(block_q: int, G: int, bpk: int, page: int, meta_ref,
@@ -81,9 +82,9 @@ def _kernel(block_q: int, G: int, bpk: int, page: int, meta_ref, q_ref,
         kv = kv_ref[...].reshape(bpk, 2, page, q.shape[-1])
         k = kv[:, 0].reshape(block_k, -1)
         v = kv[:, 1].reshape(block_k, -1)
-        if k.dtype != q.dtype:                   # fp8 pool: upcast post-load
-            k = k.astype(q.dtype)
-            v = v.astype(q.dtype)
+        if k.dtype != q.dtype:                   # fp8 pool: integer-ops upcast
+            k = upcast_fp8(k, q.dtype)
+            v = upcast_fp8(v, q.dtype)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if masked:

@@ -54,7 +54,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from quest_tpu.ops.pallas_utils import MASK_VALUE, round_up, use_interpret
+from quest_tpu.ops.pallas_utils import (MASK_VALUE, round_up,
+                                        upcast_fp8, use_interpret)
 
 
 def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
@@ -157,9 +158,9 @@ def _kernel(ppb: int, page: int, layer: int | None, nb: int, nslot: int,
         kv = kv_buf[slot]                        # [ppb, 2, page, D]
         k = kv[:, 0].reshape(ppb * page, -1)
         v = kv[:, 1].reshape(ppb * page, -1)
-        if k.dtype != q.dtype:                   # fp8 pool: upcast post-load
-            k = k.astype(q.dtype)
-            v = v.astype(q.dtype)
+        if k.dtype != q.dtype:   # fp8 pool: integer-ops upcast (no
+            k = upcast_fp8(k, q.dtype)   # native Mosaic fp8 convert —
+            v = upcast_fp8(v, q.dtype)   # astype measured ~5x slower)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)   # [Gp, ppb*page]
@@ -270,9 +271,9 @@ def _kernel_1blk(S: int, page: int, layer: int | None, nslot: int,
         kv = kv_buf[slot, e]                     # [S, 2, page, D]
         k = kv[:, 0].reshape(S * page, -1)
         v = kv[:, 1].reshape(S * page, -1)
-        if k.dtype != q.dtype:                   # fp8 pool: upcast post-load
-            k = k.astype(q.dtype)
-            v = v.astype(q.dtype)
+        if k.dtype != q.dtype:   # fp8 pool: integer-ops upcast (no
+            k = upcast_fp8(k, q.dtype)   # native Mosaic fp8 convert —
+            v = upcast_fp8(v, q.dtype)   # astype measured ~5x slower)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)   # [Gp, S*page]

@@ -121,9 +121,12 @@ def test_sparse_decode_single_block_fast_path(seq_lens, page, budget, Hq,
     P = max((s + page - 1) // page for s in seq_lens) + 2
     kv_pages, _, _ = make_packed(rng, B, Hkv, P, page, D)
     kv_pages = kv_pages.astype(kvdt)
-    # Oracle sees the SAME (possibly fp8-rounded) stored values.
-    k_pages = kv_pages[:, :, :, 0].astype(jnp.float32)
-    v_pages = kv_pages[:, :, :, 1].astype(jnp.float32)
+    # Oracle sees the SAME stored values under the kernels' declared
+    # upcast semantics (integer-ops fp8->bf16 with flush-to-zero for
+    # e4m3 denormals; exact for normals — ops/pallas_utils.upcast_fp8).
+    from quest_tpu.ops.pallas_utils import upcast_fp8
+    k_pages = upcast_fp8(kv_pages[:, :, :, 0]).astype(jnp.float32)
+    v_pages = upcast_fp8(kv_pages[:, :, :, 1]).astype(jnp.float32)
     q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
     seq = jnp.asarray(np.array(seq_lens, np.int32))
     sm = 1.0 / np.sqrt(D)
@@ -155,9 +158,10 @@ def test_dense_and_prefill_fp8_pool():
     seq = jnp.asarray(np.array(seq_lens, np.int32))
     sm = 1.0 / np.sqrt(D)
     packed = flat_to_packed(jnp.asarray(k), jnp.asarray(v), page)
+    from quest_tpu.ops.pallas_utils import upcast_fp8
     packed8 = packed.astype(jnp.float8_e4m3fn)
-    k8 = np.asarray(packed8[:, :, :, 0].astype(jnp.float32))
-    v8 = np.asarray(packed8[:, :, :, 1].astype(jnp.float32))
+    k8 = np.asarray(upcast_fp8(packed8[:, :, :, 0]).astype(jnp.float32))
+    v8 = np.asarray(upcast_fp8(packed8[:, :, :, 1]).astype(jnp.float32))
     kf = k8.reshape(B, Hkv, -1, D)
     vf = v8.reshape(B, Hkv, -1, D)
 
