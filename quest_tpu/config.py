@@ -201,6 +201,14 @@ def serving_quest_config(max_seq_len: int, token_budget: int = 2048,
         approx + per-row repair beyond (ops/topk.py:serving_method).
     Accuracy-critical deployments keep QuestConfig() defaults
     (page 16, bf16 metadata, exact top-k — the reference protocol).
+
+    Capacity option: pass ``kv_dtype=jnp.float8_e4m3fn`` to halve the
+    KV pool. As of round 5 (integer-ops in-kernel upcast,
+    ops/pallas_utils.upcast_fp8) fp8 KV decodes at bf16 speed
+    (full-depth llama31: 17.6 vs 17.4 ms/tok) and prefills 1.6x
+    FASTER; accuracy deltas <= 0.005 on every selection proxy
+    (exp/r5_chip/accuracy_proxies.json). Not the default because the
+    fp8 data rounding does enter attention values (not just ranking).
     """
     import jax.numpy as jnp  # local: keep module import backend-free
 
